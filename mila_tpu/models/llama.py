@@ -1,0 +1,265 @@
+"""Llama-3.x model family: RMSNorm + RoPE + GQA + SwiGLU, KV-cache decode.
+
+BASELINE north-star architecture (these capabilities live on the reference's
+dev branch — README.md:5-13 — and are required here: SURVEY.md §7 stage 5).
+Structure mirrors HF LlamaForCausalLM so safetensors checkpoints map 1:1
+(:func:`mila_tpu.serialization.safetensors_io.hf_llama_to_params`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mila_tpu import ops
+from mila_tpu.nn import Linear, LinearConfig
+from mila_tpu.nn.layers import LayerNormConfig, RMSNorm
+from mila_tpu.nn.module import CompositeModule, Params
+from mila_tpu.utils.config import BaseConfig, ConfigError
+from mila_tpu.utils.rng import split_named
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig(BaseConfig):
+    vocab_size: int = 128256
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_layers: int = 16
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 0  # 0 → hidden_size // num_heads
+    max_seq_len: int = 8192
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = True  # Llama-3.2-1B ties lm_head to embed
+    param_dtype: str = "bfloat16"
+
+    def validate(self):
+        if min(self.vocab_size, self.hidden_size, self.num_layers, self.num_heads) <= 0:
+            raise ConfigError("all Llama dims must be positive")
+        if self.num_heads % self.num_kv_heads != 0:
+            raise ConfigError("num_heads must divide by num_kv_heads")
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @staticmethod
+    def llama32_1b() -> "LlamaConfig":
+        """Llama-3.2-1B (HF config.json values)."""
+        return LlamaConfig(
+            name="llama-3.2-1b",
+            vocab_size=128256,
+            hidden_size=2048,
+            intermediate_size=8192,
+            num_layers=16,
+            num_heads=32,
+            num_kv_heads=8,
+            head_dim=64,
+            max_seq_len=131072,
+            rope_theta=500000.0,
+            rope_scaling={
+                "rope_type": "llama3",
+                "factor": 32.0,
+                "low_freq_factor": 1.0,
+                "high_freq_factor": 4.0,
+                "original_max_position_embeddings": 8192,
+            },
+            tie_embeddings=True,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 512) -> "LlamaConfig":
+        """Small config for tests/integration."""
+        return LlamaConfig(
+            name="llama-tiny",
+            vocab_size=vocab_size,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            max_seq_len=128,
+            rope_theta=10000.0,
+            param_dtype="float32",
+        )
+
+
+class LlamaBlock(CompositeModule):
+    """Decoder layer: x += wo(attn(rope(wq,wk), wv) after ln_attn);
+    x += down(swiglu(gate, up)) after ln_mlp."""
+
+    def __init__(self, config: LlamaConfig, name: str):
+        super().__init__(BaseConfig(name=name))
+        self.cfg = config
+        H, HD = config.hidden_size, config.hd
+        NH, NKV = config.num_heads, config.num_kv_heads
+        dt = config.param_dtype
+        lin = lambda n, i, o: Linear(  # noqa: E731
+            LinearConfig(name=n, in_features=i, out_features=o, has_bias=False,
+                         initializer="normal", param_dtype=dt)
+        )
+        self.add("ln_attn", RMSNorm(LayerNormConfig(name="ln_attn", features=H,
+                                                    eps=config.rms_eps, param_dtype=dt)))
+        self.add("wq", lin("wq", H, NH * HD))
+        self.add("wk", lin("wk", H, NKV * HD))
+        self.add("wv", lin("wv", H, NKV * HD))
+        self.add("wo", lin("wo", NH * HD, H))
+        self.add("ln_mlp", RMSNorm(LayerNormConfig(name="ln_mlp", features=H,
+                                                   eps=config.rms_eps, param_dtype=dt)))
+        self.add("gate", lin("gate", H, config.intermediate_size))
+        self.add("up", lin("up", H, config.intermediate_size))
+        self.add("down", lin("down", config.intermediate_size, H))
+
+    def init(self, key, input_shape):
+        ks = split_named(key, *[n for n, _ in self.children()])
+        out = {}
+        for name, child in self.children():
+            shape = input_shape
+            if name == "down":
+                shape = (*input_shape[:-1], self.cfg.intermediate_size)
+            elif name == "wo":
+                shape = (*input_shape[:-1], self.cfg.num_heads * self.cfg.hd)
+            out[name] = child.init(ks[name], shape)
+        return out
+
+    def _qkv(self, params, x):
+        cfg = self.cfg
+        B, T, _ = x.shape
+        h = self.get("ln_attn").apply(params["ln_attn"], x)
+        q = self.get("wq").apply(params["wq"], h).reshape(B, T, cfg.num_heads, cfg.hd)
+        k = self.get("wk").apply(params["wk"], h).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        v = self.get("wv").apply(params["wv"], h).reshape(B, T, cfg.num_kv_heads, cfg.hd)
+        return q, k, v
+
+    def _finish_attn(self, params, x, att):
+        B, T = att.shape[:2]
+        h = self.get("wo").apply(params["wo"], att.reshape(B, T, -1))
+        x = ops.residual(h, x)
+        h = self.get("ln_mlp").apply(params["ln_mlp"], x)
+        g = self.get("gate").apply(params["gate"], h)
+        u = self.get("up").apply(params["up"], h)
+        h = self.get("down").apply(params["down"], ops.swiglu(g, u))
+        return ops.residual(h, x)
+
+    def apply(self, params, x, *, cos=None, sin=None, training=False, rngs=None):
+        q, k, v = self._qkv(params, x)
+        q = ops.apply_rope(q, cos, sin)
+        k = ops.apply_rope(k, cos, sin)
+        att = ops.dot_product_attention(q, k, v, causal=True)
+        return self._finish_attn(params, x, att)
+
+    def apply_with_cache(self, params, x, cache, pos, cos, sin):
+        """Incremental step: x [B,t,H] at absolute position pos."""
+        q, k, v = self._qkv(params, x)
+        q = ops.apply_rope(q, cos, sin)
+        k = ops.apply_rope(k, cos, sin)
+        k_cache = jax.lax.dynamic_update_slice(cache["k"], k, (0, pos, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(cache["v"], v, (0, pos, 0, 0))
+        B, t = x.shape[:2]
+        total = pos + t
+        if t == 1:
+            att = ops.decode_attention(
+                q, k_cache, v_cache, jnp.full((B,), total, jnp.int32)
+            )
+        else:
+            maxT = k_cache.shape[1]
+            kj = jax.lax.broadcasted_iota(jnp.int32, (t, maxT), 1)
+            qi = jax.lax.broadcasted_iota(jnp.int32, (t, maxT), 0) + pos
+            mask = (kj <= qi)[None].repeat(B, 0)
+            att = ops.dot_product_attention(q, k_cache, v_cache, causal=False, mask=mask)
+        return self._finish_attn(params, x, att), {"k": k_cache, "v": v_cache}
+
+    def output_shape(self, input_shape):
+        return tuple(input_shape)
+
+
+class Llama(CompositeModule):
+    def __init__(self, config: LlamaConfig):
+        super().__init__(config)
+        cfg = config
+        dt = cfg.param_dtype
+        from mila_tpu.nn import Encoder, EncoderConfig
+
+        self.add(
+            "embed",
+            Encoder(EncoderConfig(name="embed", vocab_size=cfg.vocab_size,
+                                  embedding_dim=cfg.hidden_size, max_seq_len=0,
+                                  param_dtype=dt)),
+        )
+        for i in range(cfg.num_layers):
+            self.add(f"h{i}", LlamaBlock(cfg, f"h{i}"))
+        self.add("norm_f", RMSNorm(LayerNormConfig(name="norm_f", features=cfg.hidden_size,
+                                                   eps=cfg.rms_eps, param_dtype=dt)))
+        if not cfg.tie_embeddings:
+            self.add("lm_head", Linear(LinearConfig(
+                name="lm_head", in_features=cfg.hidden_size,
+                out_features=cfg.vocab_size, has_bias=False, param_dtype=dt)))
+
+    def init(self, key, input_shape):
+        cfg: LlamaConfig = self.config
+        ks = split_named(key, *[n for n, _ in self.children()])
+        B, T = input_shape
+        out: Params = {"embed": self.get("embed").init(ks["embed"], (B, T))}
+        shape = (B, T, cfg.hidden_size)
+        for name, child in self.children():
+            if name == "embed":
+                continue
+            out[name] = child.init(ks[name], shape)
+        return out
+
+    def _rope(self, positions):
+        cfg: LlamaConfig = self.config
+        return ops.rope_cos_sin(
+            positions, cfg.hd, cfg.rope_theta, cfg.rope_scaling
+        )
+
+    def _logits(self, params, x):
+        if self.config.tie_embeddings:
+            return ops.linear(x, params["embed"]["wte"].T, None)
+        return self.get("lm_head").apply(params["lm_head"], x)
+
+    def apply(self, params, tokens, *, training=False, rngs=None):
+        cfg: LlamaConfig = self.config
+        B, T = tokens.shape
+        x = jnp.take(params["embed"]["wte"], tokens, axis=0)
+        cos, sin = self._rope(jnp.arange(T)[None].repeat(B, 0))
+        for i in range(cfg.num_layers):
+            x = self.get(f"h{i}").apply(params[f"h{i}"], x, cos=cos, sin=sin,
+                                        training=training, rngs=rngs)
+        x = self.get("norm_f").apply(params["norm_f"], x)
+        return self._logits(params, x)
+
+    def output_shape(self, input_shape):
+        return (*tuple(input_shape), self.config.vocab_size)
+
+    # --- KV-cache path (Generator protocol) ---
+
+    def init_kv_cache(self, batch_size: int, max_len: int = 0, dtype=jnp.bfloat16) -> dict:
+        cfg: LlamaConfig = self.config
+        maxT = max_len or min(cfg.max_seq_len, 4096)
+        return {
+            f"h{i}": {
+                "k": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
+                "v": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
+            }
+            for i in range(cfg.num_layers)
+        }
+
+    def forward_with_cache(self, params, tokens, cache, pos):
+        cfg: LlamaConfig = self.config
+        B, t = tokens.shape
+        x = jnp.take(params["embed"]["wte"], tokens, axis=0)
+        positions = pos + jnp.arange(t)[None].repeat(B, 0)
+        cos, sin = self._rope(positions)
+        new_cache = {}
+        for i in range(cfg.num_layers):
+            x, new_cache[f"h{i}"] = self.get(f"h{i}").apply_with_cache(
+                params[f"h{i}"], x, cache[f"h{i}"], pos, cos, sin
+            )
+        x = self.get("norm_f").apply(params["norm_f"], x)
+        return self._logits(params, x), new_cache
