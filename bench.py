@@ -63,22 +63,30 @@ def bench_mnist_training() -> dict:
         )
         return params, opt_state, losses.mean()
 
-    # Warmup (compile) + one timed check that loss decreases.
+    # Warmup (compile) + one timed check that loss decreases. The tunneled
+    # TPU has a large fixed result-fetch overhead and an unreliable
+    # block_until_ready, so timing = delta between n and 4n epoch chains with
+    # a forced scalar fetch (fixed cost cancels).
     params, opt_state, l0 = epoch(params, opt_state, x, y)
-    jax.block_until_ready(l0)
-    # Time enough epochs for a >2s window; block on params (the full chain).
-    n_epochs = 5
-    dt = 0.0
-    while True:
+    l0 = float(l0)
+
+    def run_epochs(n):
         t0 = time.perf_counter()
-        for _ in range(n_epochs):
-            params, opt_state, loss = epoch(params, opt_state, x, y)
-        jax.block_until_ready((params, loss))
-        dt = time.perf_counter() - t0
-        if dt > 2.0 or n_epochs >= 640:
-            break
-        n_epochs *= 4
-    sps = n_epochs * steps_per_epoch * batch / dt
+        p, s = params, opt_state
+        loss = None
+        for _ in range(n):
+            p, s, loss = epoch(p, s, x, y)
+        lv = float(loss)
+        return time.perf_counter() - t0, lv
+
+    n1 = 3
+    run_epochs(n1)  # warm
+    t1 = min(run_epochs(n1)[0] for _ in range(2))
+    t2, loss_final = run_epochs(n1 * 4)
+    t2 = min(t2, run_epochs(n1 * 4)[0])
+    dt_per_epoch = max((t2 - t1) / (n1 * 3), 1e-9)
+    sps = steps_per_epoch * batch / dt_per_epoch
+    loss = loss_final
     assert float(loss) < float(l0), "training must make progress during bench"
     return {
         "metric": "mnist_mlp_train_throughput",

@@ -139,24 +139,22 @@ def _flash_attention_forward(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k, D),
-                    lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 1, block_k, D),
-                    lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
-                ),
-            ],
-            out_specs=pl.BlockSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
                 (1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)
             ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),

@@ -230,3 +230,48 @@ class GPT2(CompositeModule):
             )
         x = self.get("ln_f").apply(params["ln_f"], x)
         return self._logits(params, x), new_cache
+
+    def forward_with_cache_ragged(self, params, tokens, cache, positions):
+        """Single-token decode where each batch row sits at its own position.
+
+        tokens [B,1]; positions [B] int32 (number of tokens already cached
+        per row). Continuous-batching decode path.
+        """
+        cfg: GPT2Config = self.config
+        B = tokens.shape[0]
+        C = cfg.embedding_dim
+        NH = cfg.num_heads
+        HS = C // NH
+        x = jnp.take(params["encoder"]["wte"], tokens, axis=0)
+        wpe = params["encoder"].get("wpe")
+        if wpe is not None:
+            x = x + jnp.take(wpe, positions[:, None], axis=0)
+        rows = jnp.arange(B)
+        new_cache = {}
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            lcache = cache[f"h{i}"]
+            h = blk.get("ln1").apply(bp["ln1"], x)
+            qkv = blk.get("qkv").apply(bp["qkv"], h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, 1, NH, HS)
+            k1 = k.reshape(B, NH, HS)
+            v1 = v.reshape(B, NH, HS)
+            k_cache = lcache["k"].at[rows, positions].set(
+                k1.astype(lcache["k"].dtype)
+            )
+            v_cache = lcache["v"].at[rows, positions].set(
+                v1.astype(lcache["v"].dtype)
+            )
+            att = ops.decode_attention(
+                q, k_cache, v_cache, (positions + 1).astype(jnp.int32)
+            )
+            h = blk.get("proj").apply(bp["proj"], att.reshape(B, 1, C))
+            x = ops.residual(h, x)
+            h = blk.get("ln2").apply(bp["ln2"], x)
+            h = blk.get("mlp").apply(bp["mlp"], h)
+            x = ops.residual(h, x)
+            new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
+        x = self.get("ln_f").apply(params["ln_f"], x)
+        return self._logits(params, x), new_cache

@@ -263,3 +263,32 @@ class Llama(CompositeModule):
             )
         x = self.get("norm_f").apply(params["norm_f"], x)
         return self._logits(params, x), new_cache
+
+    def forward_with_cache_ragged(self, params, tokens, cache, positions):
+        """Single-token decode with per-row positions (continuous batching)."""
+        cfg: LlamaConfig = self.config
+        B = tokens.shape[0]
+        x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B,1,H]
+        cos, sin = self._rope(positions[:, None])
+        rows = jnp.arange(B)
+        new_cache = {}
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            lcache = cache[f"h{i}"]
+            q, k, v = blk._qkv(bp, x)
+            q = ops.apply_rope(q, cos, sin)
+            k = ops.apply_rope(k, cos, sin)
+            k_cache = lcache["k"].at[rows, positions].set(
+                k[:, 0].astype(lcache["k"].dtype)
+            )
+            v_cache = lcache["v"].at[rows, positions].set(
+                v[:, 0].astype(lcache["v"].dtype)
+            )
+            att = ops.decode_attention(
+                q, k_cache, v_cache, (positions + 1).astype(jnp.int32)
+            )
+            x = blk._finish_attn(bp, x, att)
+            new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
+        x = self.get("norm_f").apply(params["norm_f"], x)
+        return self._logits(params, x), new_cache

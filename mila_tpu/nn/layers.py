@@ -69,7 +69,15 @@ class Linear(Module):
         return p
 
     def apply(self, params, x, *, training=False, rngs=None):
-        return ops.linear(x, params["weight"], params.get("bias"))
+        w = params["weight"]
+        if type(w).__name__ == "QTensor":
+            # Weight-only quantized path: Pallas dequant+matmul kernel
+            # (quantize_model_params swaps weights in place — any model built
+            # from Linear layers runs quantized without code changes).
+            from mila_tpu.kernels.quant_matmul import quant_linear
+
+            return quant_linear(x, w, params.get("bias"))
+        return ops.linear(x, w, params.get("bias"))
 
     def output_shape(self, input_shape):
         return (*tuple(input_shape[:-1]), self.config.out_features)
