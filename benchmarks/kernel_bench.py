@@ -52,7 +52,8 @@ def timed_chain(fn, args, iters=50, warmup=2):
 
         return chain
 
-    n1 = max(iters // 4, 1)
+    # Chains stay short: the remote compiler chokes on big unrolled graphs.
+    n1 = max(min(iters // 4, 8), 1)
     n2 = n1 * 4
     c1, c2 = make_chain(n1), make_chain(n2)
     float(c1(*args))

@@ -40,6 +40,12 @@ def _open_maybe_gz(path: Path):
 
 def read_idx_images(path: Path) -> np.ndarray:
     """Parse an IDX3 image file → [N, rows*cols] float32 in [0,1]."""
+    if path.suffix != ".gz":
+        from mila_tpu import native
+
+        fast = native.read_idx_images(str(path))
+        if fast is not None:
+            return fast
     with _open_maybe_gz(path) as f:
         magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
         if magic != IDX_IMAGE_MAGIC:
@@ -49,6 +55,12 @@ def read_idx_images(path: Path) -> np.ndarray:
 
 
 def read_idx_labels(path: Path) -> np.ndarray:
+    if path.suffix != ".gz":
+        from mila_tpu import native
+
+        fast = native.read_idx_labels(str(path))
+        if fast is not None:
+            return fast
     with _open_maybe_gz(path) as f:
         magic, n = struct.unpack(">II", f.read(8))
         if magic != IDX_LABEL_MAGIC:

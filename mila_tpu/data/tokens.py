@@ -22,8 +22,15 @@ LLMC_TOKENS_MAGIC = 20240520
 
 
 def read_token_file(path: str | Path) -> np.ndarray:
-    """Read one token shard → int32 [N] array."""
+    """Read one token shard → int32 [N] array (native mmap reader when the
+    C++ library is available, python fallback otherwise)."""
     path = Path(path)
+    if path.suffix != ".gz":
+        from mila_tpu import native
+
+        fast = native.read_token_file(str(path))
+        if fast is not None:
+            return fast
     raw = path.read_bytes()
     if len(raw) >= 1024:
         magic, version = struct.unpack_from("<ii", raw, 0)
@@ -89,6 +96,11 @@ class TokenReader(DatasetReader):
         hi = min(lo + self.batch_size, len(self._starts))
         sel = np.arange(lo, hi) if self._perm is None else self._perm[lo:hi]
         starts = self._starts[sel]
+        from mila_tpu import native
+
+        fast = native.gather_windows(self.tokens, starts, self.seq_len)
+        if fast is not None:
+            return fast
         idx = starts[:, None] + np.arange(self.seq_len + 1)[None, :]
         chunk = self.tokens[idx]
         return chunk[:, :-1].astype(np.int32), chunk[:, 1:].astype(np.int32)
