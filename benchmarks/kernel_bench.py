@@ -39,21 +39,19 @@ def timed_chain(fn, args, iters=50, warmup=2):
     def make_chain(n):
         @jax.jit
         def chain(*args):
-            out = fn(*args)
-            for _ in range(n - 1):
+            def body(x, _):
+                out = fn(x, *args[1:])
                 # Data-dependence defeats CSE/overlap between iterations.
-                args = (
-                    args[0]
-                    + (out.reshape(-1)[0] * 1e-20).astype(args[0].dtype),
-                    *args[1:],
-                )
-                out = fn(*args)
-            return jnp.sum(out.astype(jnp.float32))
+                x = x + (out.reshape(-1)[0] * 1e-20).astype(x.dtype)
+                return x, out.reshape(-1)[0].astype(jnp.float32)
+
+            _, outs = jax.lax.scan(body, args[0], None, length=n)
+            return outs.sum()
 
         return chain
 
-    # Chains stay short: the remote compiler chokes on big unrolled graphs.
-    n1 = max(min(iters // 4, 8), 1)
+    # lax.scan keeps the compile small (body compiles once for any n).
+    n1 = max(iters // 4, 2)
     n2 = n1 * 4
     c1, c2 = make_chain(n1), make_chain(n2)
     float(c1(*args))

@@ -1,0 +1,154 @@
+"""Llama-3.2-1B inference benchmark: decode tokens/s/chip + prefill TTFT,
+BF16 vs INT8 weight-only (BASELINE configs 4-5 single-chip measurements).
+
+Weights are random-initialized (zero-egress environment); throughput is
+weight-independent. Decode steps run inside one jitted lax.scan so the
+tunneled host's dispatch overhead doesn't pollute per-token numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def build_model(scale: str, dtype: str):
+    from mila_tpu.models.llama import Llama, LlamaConfig
+
+    if scale == "1b":
+        cfg = LlamaConfig.llama32_1b().replace(
+            max_seq_len=2048, param_dtype=dtype
+        )
+    elif scale == "small":
+        cfg = LlamaConfig(
+            name="llama-small", vocab_size=32000, hidden_size=1024,
+            intermediate_size=4096, num_layers=8, num_heads=16, num_kv_heads=4,
+            max_seq_len=2048, param_dtype=dtype,
+        )
+    else:
+        cfg = LlamaConfig.tiny()
+    model = Llama(cfg)
+    params = model.init(jax.random.key(0), (1, 32))
+    return model, params, cfg
+
+
+def scan_decode_fn(model, steps: int):
+    """Returns jitted fn running `steps` greedy decode iterations via scan."""
+
+    def run(params, first_token, cache, start_pos):
+        def body(carry, _):
+            token, cache, pos = carry
+            logits, cache = model.forward_with_cache(params, token, cache, pos)
+            nxt = jnp.argmax(
+                logits[:, -1, : model.config.vocab_size], axis=-1
+            ).astype(jnp.int32)[:, None]
+            return (nxt, cache, pos + 1), nxt[:, 0]
+
+        (tok, cache, _), toks = jax.lax.scan(
+            body, (first_token, cache, start_pos), None, length=steps
+        )
+        return toks.sum()  # scalar fetch forces completion
+
+    return jax.jit(run)
+
+
+def bench_decode(model, params, cfg, batch: int, prompt_len: int = 128,
+                 decode_steps: int = 64, cache_len: int = 512):
+    prefill = jax.jit(
+        lambda p, t, c: model.forward_with_cache(p, t, c, 0)[0].sum()
+    )
+    key = jax.random.key(1)
+    prompt = jax.random.randint(key, (batch, prompt_len), 0, cfg.vocab_size)
+    cache = model.init_kv_cache(batch, cache_len, jnp.bfloat16)
+
+    # TTFT: prefill wall time (after compile), forced fetch.
+    float(prefill(params, prompt, cache))  # compile
+    ttfts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(prefill(params, prompt, cache))
+        ttfts.append(time.perf_counter() - t0)
+    ttft = sorted(ttfts)[1]
+
+    # Decode: delta timing between n and 2n scan steps.
+    _, cache2 = jax.jit(
+        lambda p, t, c: model.forward_with_cache(p, t, c, 0)
+    )(params, prompt, cache)
+    token = jnp.zeros((batch, 1), jnp.int32)
+    f1 = scan_decode_fn(model, decode_steps)
+    f2 = scan_decode_fn(model, decode_steps * 2)
+    float(f1(params, token, cache2, prompt_len))
+    float(f2(params, token, cache2, prompt_len))
+
+    def best(f, reps=3):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(params, token, cache2, prompt_len))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t1, t2 = best(f1), best(f2)
+    per_tok = max((t2 - t1) / decode_steps, 1e-9)
+    return {
+        "ttft_p50_ms": round(ttft * 1e3, 2),
+        "decode_tok_s_per_seq": round(1.0 / per_tok, 1),
+        "decode_tok_s_total": round(batch / per_tok, 1),
+        "per_token_ms": round(per_tok * 1e3, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="1b", choices=["1b", "small", "tiny"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--quantize", default="both", choices=["bf16", "int8", "both"])
+    args = ap.parse_args()
+
+    import mila_tpu
+    from mila_tpu.inference.quantize import model_bytes, quantize_model_params
+    from mila_tpu.runtime.memory import format_bytes
+
+    mila_tpu.initialize(0)
+    print("devices:", jax.devices(), file=sys.stderr)
+    model, params, cfg = build_model(args.scale, "bfloat16")
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    print(f"model {cfg.name}: {n_params/1e9:.2f}B params, "
+          f"{format_bytes(model_bytes(params))} bf16", file=sys.stderr)
+
+    results = {}
+    if args.quantize in ("bf16", "both"):
+        r = bench_decode(model, params, cfg, args.batch, args.prompt_len)
+        print(f"bf16   b={args.batch}: {r}", file=sys.stderr)
+        results["bf16"] = r
+    if args.quantize in ("int8", "both"):
+        qparams = quantize_model_params(params, "int8")
+        print(f"int8 weights: {format_bytes(model_bytes(qparams))}", file=sys.stderr)
+        r = bench_decode(model, qparams, cfg, args.batch, args.prompt_len)
+        print(f"int8   b={args.batch}: {r}", file=sys.stderr)
+        results["int8"] = r
+
+    pick = results.get("int8") or results["bf16"]
+    print(json.dumps({
+        "metric": f"llama_{args.scale}_int8_decode" if "int8" in results
+        else f"llama_{args.scale}_bf16_decode",
+        "value": pick["decode_tok_s_total"],
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(
+            results["int8"]["decode_tok_s_total"] / results["bf16"]["decode_tok_s_total"], 3
+        ) if len(results) == 2 else 1.0,
+        "detail": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()

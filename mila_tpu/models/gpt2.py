@@ -51,6 +51,8 @@ class GPT2Config(BaseConfig):
     dropout: float = 0.0
     tie_embeddings: bool = True
     param_dtype: str = "float32"
+    remat: bool = False
+    attention_impl: str = "auto"  # auto | xla | flash
 
     def validate(self):
         if min(self.vocab_size, self.max_seq_len, self.num_layers,
@@ -113,6 +115,8 @@ class GPT2(CompositeModule):
                         mlp_ratio=cfg.mlp_ratio,
                         dropout=cfg.dropout,
                         param_dtype=cfg.param_dtype,
+                        remat=cfg.remat,
+                        attention_impl=cfg.attention_impl,
                     )
                 ),
             )

@@ -37,6 +37,7 @@ class LlamaConfig(BaseConfig):
     rms_eps: float = 1e-5
     tie_embeddings: bool = True  # Llama-3.2-1B ties lm_head to embed
     param_dtype: str = "bfloat16"
+    attention_impl: str = "auto"  # auto | xla | flash
 
     def validate(self):
         if min(self.vocab_size, self.hidden_size, self.num_layers, self.num_heads) <= 0:
@@ -147,10 +148,12 @@ class LlamaBlock(CompositeModule):
         return ops.residual(h, x)
 
     def apply(self, params, x, *, cos=None, sin=None, training=False, rngs=None):
+        from mila_tpu.ops.attention import attention
+
         q, k, v = self._qkv(params, x)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
-        att = ops.dot_product_attention(q, k, v, causal=True)
+        att = attention(q, k, v, causal=True, impl=self.cfg.attention_impl)
         return self._finish_attn(params, x, att)
 
     def apply_with_cache(self, params, x, cache, pos, cos, sin):

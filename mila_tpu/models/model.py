@@ -47,12 +47,18 @@ class ModelConfig(BaseConfig):
     early_stopping_patience: int = 0  # 0 = off
     validation_split: float = 0.0
     verbose: bool = True
+    # Microbatch gradient accumulation: batch splits into this many chunks,
+    # grads sum before one optimizer step (the reference's beta=1 dW
+    # accumulate semantics, CudaLinearOp.ixx:937-962, at training-loop level).
+    grad_accum_steps: int = 1
 
     def validate(self):
         if self.epochs <= 0:
             raise ConfigError("epochs must be positive")
         if not 0.0 <= self.validation_split < 1.0:
             raise ConfigError("validation_split must be in [0,1)")
+        if self.grad_accum_steps < 1:
+            raise ConfigError("grad_accum_steps must be >= 1")
 
 
 @dataclasses.dataclass
@@ -80,6 +86,32 @@ class TrainingHistory:
 
 
 LossFn = Callable[..., jax.Array]  # (params, *batch) -> scalar loss
+
+
+def split_validation(reader: DatasetReader, fraction: float):
+    """Split an in-memory reader into (train, val) readers
+    (Model.ixx validation-split behavior). Only ArrayReader-style readers
+    (with _inputs/_targets) support automatic splitting."""
+    from mila_tpu.data.loader import ArrayReader
+
+    if not isinstance(reader, ArrayReader):
+        raise TypeError(
+            "validation_split requires an ArrayReader; pass val_reader explicitly"
+        )
+    n = len(reader)
+    n_val = max(int(n * fraction), 1)
+    rng = np.random.default_rng(reader.seed)
+    perm = rng.permutation(n)
+    tr_idx, va_idx = perm[n_val:], perm[:n_val]
+    train = ArrayReader(
+        reader._inputs[tr_idx], reader._targets[tr_idx], reader.batch_size,
+        shuffle=reader.shuffle, seed=reader.seed,
+    )
+    val = ArrayReader(
+        reader._inputs[va_idx], reader._targets[va_idx], reader.batch_size,
+        shuffle=False, drop_last=False,
+    )
+    return train, val
 
 
 class Model:
@@ -126,12 +158,35 @@ class Model:
         opt = self.optimizer
         module = self.module
         loss_fn = self._loss_fn
+        accum = self.config.grad_accum_steps
 
         @jax.jit
         def train_step(params, opt_state, inputs, targets):
-            loss, grads = jax.value_and_grad(
-                lambda p: loss_fn(module, p, inputs, targets)
-            )(params)
+            if accum == 1:
+                loss, grads = jax.value_and_grad(
+                    lambda p: loss_fn(module, p, inputs, targets)
+                )(params)
+            else:
+                B = inputs.shape[0]
+                mb = B // accum
+                xs = inputs[: mb * accum].reshape(accum, mb, *inputs.shape[1:])
+                ys = targets[: mb * accum].reshape(accum, mb, *targets.shape[1:])
+
+                def micro(carry, xy):
+                    g_acc, l_acc = carry
+                    x, y = xy
+                    l, g = jax.value_and_grad(
+                        lambda p: loss_fn(module, p, x, y)
+                    )(params)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, l_acc + l), None
+
+                zero = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params
+                )
+                (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), (xs, ys))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+                loss = loss_sum / accum
             params, opt_state = opt.step(opt_state, params, grads)
             return params, opt_state, loss
 
@@ -156,6 +211,8 @@ class Model:
         if self.params is None:
             raise RuntimeError("call build() before train()")
         cfg = self.config
+        if val_reader is None and cfg.validation_split > 0:
+            reader, val_reader = split_validation(reader, cfg.validation_split)
         for epoch in range(cfg.epochs):
             t0 = time.monotonic()
             reader.reset(epoch)

@@ -30,6 +30,7 @@ from mila_tpu.nn.layers import (
     SoftmaxCrossEntropy,
     SoftmaxCrossEntropyConfig,
 )
+from mila_tpu.nn.conv import Conv2D, Conv2DConfig, Flatten, Pool2D, Pool2DConfig
 from mila_tpu.nn.module import (
     CompositeModule,
     Lambda,
@@ -66,4 +67,9 @@ __all__ = [
     "Module",
     "Params",
     "Sequential",
+    "Conv2D",
+    "Conv2DConfig",
+    "Flatten",
+    "Pool2D",
+    "Pool2DConfig",
 ]

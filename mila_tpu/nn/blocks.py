@@ -97,6 +97,10 @@ class TransformerBlockConfig(BaseConfig):
     mlp_ratio: int = 4
     dropout: float = 0.0
     param_dtype: str = "float32"
+    # Rematerialize the block under jax.grad: trade recompute for HBM
+    # (jax.checkpoint — the standard TPU memory lever for deep stacks).
+    remat: bool = False
+    attention_impl: str = "auto"  # auto | xla | flash
 
     def validate(self):
         if self.embedding_dim <= 0 or self.num_heads <= 0:
@@ -123,7 +127,12 @@ class TransformerBlock(CompositeModule):
         )
         self.add(
             "attn",
-            Attention(AttentionConfig(name="attn", embedding_dim=C, num_heads=cfg.num_heads)),
+            Attention(
+                AttentionConfig(
+                    name="attn", embedding_dim=C, num_heads=cfg.num_heads,
+                    impl=cfg.attention_impl,
+                )
+            ),
         )
         self.add(
             "proj",
@@ -146,14 +155,21 @@ class TransformerBlock(CompositeModule):
         )
 
     def apply(self, params, x, *, training=False, rngs=None):
-        h = self.get("ln1").apply(params["ln1"], x)
-        h = self.get("qkv").apply(params["qkv"], h)
-        h = self.get("attn").apply({}, h)
-        h = self.get("proj").apply(params["proj"], h)
-        x = ops.residual(h, x)
-        h = self.get("ln2").apply(params["ln2"], x)
-        h = self.get("mlp").apply(params["mlp"], h, training=training, rngs=rngs)
-        return ops.residual(h, x)
+        def body(params, x):
+            h = self.get("ln1").apply(params["ln1"], x)
+            h = self.get("qkv").apply(params["qkv"], h)
+            h = self.get("attn").apply({}, h)
+            h = self.get("proj").apply(params["proj"], h)
+            x = ops.residual(h, x)
+            h = self.get("ln2").apply(params["ln2"], x)
+            h = self.get("mlp").apply(params["mlp"], h, training=training, rngs=rngs)
+            return ops.residual(h, x)
+
+        if self.config.remat and training:
+            import jax
+
+            return jax.checkpoint(body)(params, x)
+        return body(params, x)
 
     def output_shape(self, input_shape):
         return tuple(input_shape)

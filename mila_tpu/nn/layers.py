@@ -161,6 +161,7 @@ class AttentionConfig(BaseConfig):
     embedding_dim: int = 0
     num_heads: int = 0
     causal: bool = True
+    impl: str = "auto"  # auto | xla | flash (Pallas kernel)
 
     def validate(self):
         if self.embedding_dim <= 0 or self.num_heads <= 0:
@@ -184,6 +185,12 @@ class Attention(Module):
             raise ValueError(
                 f"{self.name}: expected fused QKV last dim {3*cfg.embedding_dim}, got {x.shape[-1]}"
             )
+        from mila_tpu.ops.attention import resolve_attention_impl
+
+        if resolve_attention_impl(cfg.impl) == "flash":
+            from mila_tpu.kernels.flash_attention import flash_mha_qkv
+
+            return flash_mha_qkv(x, cfg.num_heads, causal=cfg.causal)
         return ops.mha_qkv(x, cfg.num_heads, causal=cfg.causal)
 
     def output_shape(self, input_shape):

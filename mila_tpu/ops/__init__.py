@@ -19,10 +19,11 @@ from mila_tpu.ops.cross_entropy import (
     softmax_cross_entropy,
     softmax_cross_entropy_ref,
 )
+from mila_tpu.ops.conv import avg_pool2d, conv2d, max_pool2d
 from mila_tpu.ops.embedding import embedding_lookup, encoder
 from mila_tpu.ops.gelu import gelu, gelu_exact, gelu_sigmoid, gelu_tanh
 from mila_tpu.ops.layernorm import layer_norm, layer_norm_ref
-from mila_tpu.ops.linear import linear, linear_ref
+from mila_tpu.ops.linear import linear, linear_gelu, linear_ref
 from mila_tpu.ops.residual import residual
 from mila_tpu.ops.rmsnorm import rms_norm, rms_norm_ref
 from mila_tpu.ops.rope import apply_rope, apply_rope_interleaved, rope_cos_sin
@@ -44,6 +45,8 @@ for _name, _fn in {
     "SoftmaxCrossEntropyOp": softmax_cross_entropy,
     "SwiGLUOp": swiglu,
     "RoPEOp": apply_rope,
+    "FusedOp": linear_gelu,
+    "Conv2DOp": conv2d,
 }.items():
     if not _operations.contains(_name):
         _operations.register(_name, _fn)
@@ -65,7 +68,11 @@ __all__ = [
     "layer_norm",
     "layer_norm_ref",
     "linear",
+    "linear_gelu",
     "linear_ref",
+    "conv2d",
+    "max_pool2d",
+    "avg_pool2d",
     "residual",
     "rms_norm",
     "rms_norm_ref",

@@ -27,6 +27,26 @@ NEG_INF = -1e30  # large-negative mask value, safe in bf16/f32
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
+def resolve_attention_impl(impl: str = "auto") -> str:
+    """Resolve an attention backend name: 'auto' → Pallas flash attention on
+    accelerators, plain XLA on CPU (the jnp functions in this module)."""
+    if impl == "auto":
+        return "xla" if jax.default_backend() == "cpu" else "flash"
+    if impl not in ("xla", "flash"):
+        raise ValueError(f"unknown attention impl '{impl}'")
+    return impl
+
+
+def attention(q, k, v, *, impl: str = "auto", **kw):
+    """Backend-dispatching attention (models route through this; the pure
+    jnp `dot_product_attention` below stays the test oracle)."""
+    if resolve_attention_impl(impl) == "flash":
+        from mila_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, **kw)
+    return dot_product_attention(q, k, v, **kw)
+
+
 def causal_mask(t_q: int, t_kv: int, offset: int = 0) -> jax.Array:
     """[t_q, t_kv] boolean mask; True = attend. Query i sees keys ≤ i+offset."""
     qi = jax.lax.broadcasted_iota(jnp.int32, (t_q, t_kv), 0)

@@ -76,3 +76,16 @@ def linear_ref(x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None) -> jax
     """Oracle implementation using jax autodiff end-to-end (CpuLinearOp parity)."""
     y = x @ w
     return y + b if b is not None else y
+
+
+def linear_gelu(
+    x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+    approximation: str = "tanh",
+) -> jax.Array:
+    """Fused linear + GELU (CudaLinearGeluOp.ixx:41-94 parity — cuBLASLt's
+    GELU epilogue). Under jit XLA fuses the activation into the matmul
+    epilogue; the quantized path has the same fusion in the Pallas kernel
+    (quant_linear(..., activation='gelu'))."""
+    from mila_tpu.ops.gelu import gelu
+
+    return gelu(linear(x, w, b), approximation)
