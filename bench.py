@@ -1,22 +1,27 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Round-1 headline: MNIST MLP training throughput (samples/sec) vs the
-reference's published ~136,000 samples/sec on CUDA (README.md:66,
-BASELINE.md). Later rounds add GPT-2/Llama decode tokens/sec once the
-quantized inference engine lands.
+Headline (BASELINE.json metric): Llama-3.2-1B INT8 weight-only decode
+tokens/sec/chip + p50 TTFT, with vs_baseline = speedup over our own BF16
+decode on the same chip (the reference has no comparable LLM-serving number;
+its only published figure is MNIST training throughput, available via
+``--what mnist``).
 
-Usage: python bench.py [--what mnist]
+Usage: python bench.py [--what auto|llama|mnist]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
+# Persistent compile cache: remote TPU compiles are slow; make driver reruns fast.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
 
 MNIST_REF_SAMPLES_PER_SEC = 136_000.0  # reference README.md:66
 
@@ -96,12 +101,49 @@ def bench_mnist_training() -> dict:
     }
 
 
+def bench_llama_decode() -> dict:
+    from benchmarks.llama_bench import bench_decode, build_model
+
+    import jax
+
+    import mila_tpu
+    from mila_tpu.inference.quantize import quantize_model_params
+
+    mila_tpu.initialize(0)
+    model, params, cfg = build_model("1b", "bfloat16")
+    r_bf16 = bench_decode(model, params, cfg, batch=8, prompt_len=128)
+    qparams = quantize_model_params(params, "int8")
+    r_int8 = bench_decode(model, qparams, cfg, batch=8, prompt_len=128)
+    return {
+        "metric": "llama32_1b_int8_decode_tok_s_chip",
+        "value": r_int8["decode_tok_s_total"],
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(
+            r_int8["decode_tok_s_total"] / r_bf16["decode_tok_s_total"], 3
+        ),
+        "detail": {
+            "int8": r_int8,
+            "bf16": r_bf16,
+            "batch": 8,
+            "prompt_len": 128,
+            "note": "vs_baseline = INT8 speedup over our BF16 decode on the same chip",
+        },
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="mnist", choices=["mnist"])
+    ap.add_argument("--what", default="auto", choices=["auto", "llama", "mnist"])
     args = ap.parse_args()
-    result = bench_mnist_training()
-    print(json.dumps(result))
+    if args.what in ("auto", "llama"):
+        try:
+            print(json.dumps(bench_llama_decode()))
+            return 0
+        except Exception:  # noqa: BLE001 - fall back to the MNIST metric
+            if args.what == "llama":
+                raise
+            traceback.print_exc()
+    print(json.dumps(bench_mnist_training()))
     return 0
 
 

@@ -23,6 +23,14 @@ import jax.numpy as jnp
 def build_model(scale: str, dtype: str):
     from mila_tpu.models.llama import Llama, LlamaConfig
 
+    if scale == "gpt2-124m":
+        # BASELINE config 2: GPT-2 124M BF16 greedy decode.
+        from mila_tpu.models.gpt2 import GPT2, GPT2Config
+
+        cfg = GPT2Config.gpt2_124m().replace(max_seq_len=1024, param_dtype=dtype)
+        model = GPT2(cfg)
+        params = model.init(jax.random.key(0), (1, 32))
+        return model, params, cfg
     if scale == "1b":
         cfg = LlamaConfig.llama32_1b().replace(
             max_seq_len=2048, param_dtype=dtype
@@ -108,7 +116,8 @@ def bench_decode(model, params, cfg, batch: int, prompt_len: int = 128,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="1b", choices=["1b", "small", "tiny"])
+    ap.add_argument("--scale", default="1b",
+                    choices=["1b", "small", "tiny", "gpt2-124m"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--quantize", default="both", choices=["bf16", "int8", "both"])

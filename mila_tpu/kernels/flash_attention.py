@@ -223,8 +223,10 @@ def flash_attention(
     causal: bool = True,
     scale: Optional[float] = None,
     kv_offset: int = 0,
-    block_q: int = 128,
-    block_k: int = 128,
+    # Defaults from the v5e block sweep: 512x512 ⇒ 3.8x XLA attention at
+    # T=2048 (53.8 causal-TFLOP/s vs 14.1).
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Drop-in replacement for :func:`mila_tpu.ops.dot_product_attention`.

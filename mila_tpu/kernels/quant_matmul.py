@@ -132,8 +132,10 @@ def quant_linear(
     bias: Optional[jax.Array] = None,
     *,
     activation: Optional[str] = None,
+    # Defaults from the v5e block sweep (benchmarks/kernel_bench.py):
+    # (256, 1024, 512) ⇒ 246 TFLOP/s, 1.7x XLA dequant matmul.
     block_m: int = 256,
-    block_n: int = 256,
+    block_n: int = 1024,
     block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
