@@ -34,6 +34,11 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--sample", type=int, default=200, help="chars to sample at end")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--checkpoint", default="", help="save final weights here")
+    ap.add_argument(
+        "--quant-eval", action="store_true",
+        help="report BF16 vs INT8 weight-only perplexity delta (BASELINE gate)",
+    )
     args = ap.parse_args()
 
     mila_tpu.initialize(seed=args.seed)
@@ -85,6 +90,30 @@ def main() -> int:
     print(f"final loss {float(loss):.4f}, char perplexity {final_ppl:.3f} "
           f"(reference target < 2.0 after full training)")
     print(f"throughput: {tokens_seen / dt:,.0f} tokens/sec")
+
+    if args.checkpoint:
+        from mila_tpu.models.export import export_model
+
+        export_model(args.checkpoint, model, params)
+        Logger.info("weights exported to {}", args.checkpoint)
+
+    if args.quant_eval:
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.evaluation import perplexity_delta
+
+        val = CharReader(text, 16, args.seq_len, shuffle=False, seed=123)
+
+        def batches():
+            for i in range(8):
+                yield val.next_batch(i)
+
+        qparams = quantize_model_params(params, "int8", min_size=4096)
+        report = perplexity_delta(model, params, qparams, batches)
+        print(
+            f"quantization gate: ppl bf16={report['ppl_ref']:.4f} "
+            f"int8={report['ppl_test']:.4f} delta={report['delta']:+.4f} "
+            f"({report['rel_delta']*100:+.2f}%)"
+        )
 
     if args.sample > 0:
         gen = Generator(model, params, max_len=cfg.max_seq_len)
