@@ -201,7 +201,9 @@ class InferenceEngine:
             self.stats["tokens_out"] += 1
             self._maybe_finish(req, finished)
 
-        # Lock-step decode across active slots.
+        # Lock-step decode across active slots. Sampling happens on device
+        # for the whole batch; one host fetch per step covers all slots
+        # (per-token D2H round-trips would dominate on remote TPUs).
         active = [i for i, s in enumerate(self._slots) if s is not None]
         if active:
             tokens = jnp.asarray(self._last_token[:, None])
@@ -210,9 +212,17 @@ class InferenceEngine:
             logits, self.cache = decode(self.params, self.cache, tokens, positions)
             self._rng, sub = jax.random.split(self._rng)
             subs = jax.random.split(sub, c.max_batch)
+            # Group slots by sampling config so each group samples in one call.
+            by_cfg: dict = {}
+            for i in active:
+                by_cfg.setdefault(self._slots[i].sampling, []).append(i)
+            sampled = np.zeros((c.max_batch,), np.int32)
+            for cfg_s, idxs in by_cfg.items():
+                toks = sample_logits(logits[jnp.asarray(idxs)], subs[idxs[0]], cfg_s)
+                sampled[idxs] = np.asarray(toks)
             for i in active:
                 req = self._slots[i]
-                tok = int(sample_logits(logits[i], subs[i], req.sampling))
+                tok = int(sampled[i])
                 self._positions[i] += 1
                 self._last_token[i] = tok
                 req.output.append(tok)

@@ -37,6 +37,7 @@ def _interpret_default() -> bool:
 def _fa_kernel(
     q_ref, k_ref, v_ref,  # [1, 1, bq, d], [1, 1, bk, d], [1, 1, bk, d]
     o_ref,  # [1, 1, bq, d]
+    l_ref, m_ref,  # [1, 1, bq] row statistics (backward residuals)
     m_scr, l_scr, acc_scr,  # VMEM scratch [bq, LANES], [bq, LANES], [bq, d]
     *,
     causal: bool,
@@ -101,6 +102,8 @@ def _fa_kernel(
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
+        l_ref[0, 0] = l_scr[...][:, 0]
+        m_ref[0, 0] = m_scr[...][:, 0]
 
 
 def _flash_attention_forward(
@@ -136,9 +139,13 @@ def _flash_attention_forward(
         kv_offset=kv_offset,
     )
     flops_per = 4 * Tq * Tkv * D  # QK^T + PV, both 2*T*T*D
-    out = pl.pallas_call(
+    out, l, m = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, NH, Tq), jnp.float32),
+            jax.ShapeDtypeStruct((B, NH, Tq), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -153,8 +160,10 @@ def _flash_attention_forward(
                 lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, qi, ki: (b, h, qi)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, qi, ki: (b, h, qi)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
@@ -172,7 +181,7 @@ def _flash_attention_forward(
         ),
         interpret=_interpret_default() if interpret is None else interpret,
     )(q, k, v)
-    return out
+    return out, l, m
 
 
 @functools.partial(
@@ -181,23 +190,33 @@ def _flash_attention_forward(
 def _flash_attention(
     q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret
 ):
-    return _flash_attention_forward(
+    out, _, _ = _flash_attention_forward(
         q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret
     )
+    return out
 
 
 def _fa_fwd(q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret):
-    out = _flash_attention_forward(
+    out, l, m = _flash_attention_forward(
         q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret
     )
-    return out, (q, k, v)
+    return out, (q, k, v, out, l, m)
 
 
 def _fa_bwd(causal, sm_scale, kv_offset, block_q, block_k, interpret, res, g):
-    q, k, v = res
+    q, k, v, o, l, m = res
+    if kv_offset == 0:
+        # Dedicated Pallas backward kernels using the saved (l, m) stats.
+        from mila_tpu.kernels.flash_attention_bwd import flash_attention_bwd
 
-    # Recompute via the jnp reference (same math; XLA rematerializes
-    # efficiently). Reference layout is [B, T, H, D].
+        return flash_attention_bwd(
+            q, k, v, o, l, m, g,
+            causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+
+    # kv_offset path (chunked prefill) falls back to autodiff through the
+    # jnp reference. Reference layout is [B, T, H, D].
     def ref(q, k, v):
         return _jnp_reference(
             q.transpose(0, 2, 1, 3),
