@@ -37,7 +37,7 @@ def _interpret_default() -> bool:
 def _fa_kernel(
     q_ref, k_ref, v_ref,  # [1, 1, bq, d], [1, 1, bk, d], [1, 1, bk, d]
     o_ref,  # [1, 1, bq, d]
-    l_ref, m_ref,  # [1, 1, bq] row statistics (backward residuals)
+    l_ref, m_ref,  # [1, 1, bq, LANES] row statistics (lanes-padded)
     m_scr, l_scr, acc_scr,  # VMEM scratch [bq, LANES], [bq, LANES], [bq, d]
     *,
     causal: bool,
@@ -102,8 +102,8 @@ def _fa_kernel(
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        l_ref[0, 0] = l_scr[...][:, 0]
-        m_ref[0, 0] = m_scr[...][:, 0]
+        l_ref[0, 0] = l_scr[...]
+        m_ref[0, 0] = m_scr[...]
 
 
 def _flash_attention_forward(
@@ -143,8 +143,10 @@ def _flash_attention_forward(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, NH, Tq), jnp.float32),
-            jax.ShapeDtypeStruct((B, NH, Tq), jnp.float32),
+            # Row stats carry a lanes axis (Mosaic block alignment); the
+            # backward kernels read column 0.
+            jax.ShapeDtypeStruct((B, NH, Tq, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, NH, Tq, NUM_LANES), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -162,8 +164,8 @@ def _flash_attention_forward(
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, qi, ki: (b, h, qi)),
-            pl.BlockSpec((1, 1, block_q), lambda b, h, qi, ki: (b, h, qi)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, NUM_LANES), jnp.float32),

@@ -65,9 +65,9 @@ def _dkv_kernel(
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        l_row = l_ref[0, 0]
-        m_row = m_ref[0, 0]
-        di = di_ref[0, 0]
+        l_row = l_ref[0, 0][:, 0]
+        m_row = m_ref[0, 0][:, 0]
+        di = di_ref[0, 0][:, 0]
         p = _recompute_p(
             q, k, l_row, m_row, sm_scale, causal, qi * block_q, ki * block_k
         )
@@ -115,13 +115,13 @@ def _dq_kernel(
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
         p = _recompute_p(
-            q, k, l_ref[0, 0], m_ref[0, 0], sm_scale, causal,
+            q, k, l_ref[0, 0][:, 0], m_ref[0, 0][:, 0], sm_scale, causal,
             qi * block_q, ki * block_k,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - di_ref[0, 0][:, None]) * sm_scale
+        ds = p * (dp - di_ref[0, 0][:, 0][:, None]) * sm_scale
         dq_acc[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
 
     @pl.when(ki == n_k - 1)
@@ -134,8 +134,8 @@ def flash_attention_bwd(
     k: jax.Array,  # [B, NKV, Tkv, D]
     v: jax.Array,
     o: jax.Array,  # [B, NH, Tq, D] forward output
-    l: jax.Array,  # [B, NH, Tq] softmax row sums
-    m: jax.Array,  # [B, NH, Tq] row maxima
+    l: jax.Array,  # [B, NH, Tq, LANES] softmax row sums (lanes-padded)
+    m: jax.Array,  # [B, NH, Tq, LANES] row maxima (lanes-padded)
     do: jax.Array,  # [B, NH, Tq, D] output cotangent
     *,
     causal: bool,
@@ -156,13 +156,15 @@ def flash_attention_bwd(
         bk //= 2
     interp = (jax.default_backend() == "cpu") if interpret is None else interpret
 
-    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)  # [B,NH,Tq]
+    LANES = 128
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], (*di.shape, LANES))  # lanes-padded
 
     q_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, ki_, qi_: (b, h, qi_, 0))
     kv_spec = pl.BlockSpec(
         (1, 1, bk, D), lambda b, h, ki_, qi_, g=group: (b, h // g, ki_, 0)
     )
-    row_spec = pl.BlockSpec((1, 1, bq), lambda b, h, ki_, qi_: (b, h, qi_))
+    row_spec = pl.BlockSpec((1, 1, bq, LANES), lambda b, h, ki_, qi_: (b, h, qi_, 0))
 
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -202,9 +204,9 @@ def flash_attention_bwd(
                 (1, 1, bk, D), lambda b, h, qi_, ki_, g=group: (b, h // g, ki_, 0)
             ),
             pl.BlockSpec((1, 1, bq, D), lambda b, h, qi_, ki_: (b, h, qi_, 0)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, qi_, ki_: (b, h, qi_)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, qi_, ki_: (b, h, qi_)),
-            pl.BlockSpec((1, 1, bq), lambda b, h, qi_, ki_: (b, h, qi_)),
+            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, qi_, ki_: (b, h, qi_, 0)),
+            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, qi_, ki_: (b, h, qi_, 0)),
+            pl.BlockSpec((1, 1, bq, LANES), lambda b, h, qi_, ki_: (b, h, qi_, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, h, qi_, ki_: (b, h, qi_, 0)),
         out_shape=jax.ShapeDtypeStruct((B, NH, Tq, D), q.dtype),

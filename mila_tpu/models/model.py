@@ -88,6 +88,21 @@ class TrainingHistory:
 LossFn = Callable[..., jax.Array]  # (params, *batch) -> scalar loss
 
 
+class Callback:
+    """Training-loop hooks (reference ModelCallback dev prototype,
+    Mila/Dev/Misc — completed here). Override any subset."""
+
+    def on_train_begin(self, model: "Model") -> None: ...
+
+    def on_epoch_begin(self, model: "Model", epoch: int) -> None: ...
+
+    def on_epoch_end(
+        self, model: "Model", epoch: int, train_loss: float, val_loss: Optional[float]
+    ) -> None: ...
+
+    def on_train_end(self, model: "Model") -> None: ...
+
+
 def split_validation(reader: DatasetReader, fraction: float):
     """Split an in-memory reader into (train, val) readers
     (Model.ixx validation-split behavior). Only ArrayReader-style readers
@@ -207,13 +222,19 @@ class Model:
         reader: DatasetReader,
         val_reader: Optional[DatasetReader] = None,
         step_logger: Optional[StepLogger] = None,
+        callbacks: Optional[list] = None,
     ) -> TrainingHistory:
         if self.params is None:
             raise RuntimeError("call build() before train()")
         cfg = self.config
+        callbacks = callbacks or []
         if val_reader is None and cfg.validation_split > 0:
             reader, val_reader = split_validation(reader, cfg.validation_split)
+        for cb in callbacks:
+            cb.on_train_begin(self)
         for epoch in range(cfg.epochs):
+            for cb in callbacks:
+                cb.on_epoch_begin(self, epoch)
             t0 = time.monotonic()
             reader.reset(epoch)
             losses = []
@@ -228,6 +249,8 @@ class Model:
             dt = time.monotonic() - t0
             val_loss = self.evaluate(val_reader) if val_reader is not None else None
             self.history.record(train_loss, val_loss, n_seen / max(dt, 1e-9))
+            for cb in callbacks:
+                cb.on_epoch_end(self, epoch, train_loss, val_loss)
             if step_logger is not None:
                 step_logger.log_step(
                     epoch, loss=train_loss, val_loss=val_loss if val_loss is not None else ""
@@ -254,6 +277,8 @@ class Model:
             ):
                 Logger.info("early stopping at epoch {}", epoch + 1)
                 break
+        for cb in callbacks:
+            cb.on_train_end(self)
         return self.history
 
     def evaluate(self, reader: DatasetReader) -> float:

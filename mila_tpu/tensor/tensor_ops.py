@@ -100,6 +100,22 @@ def normalize_axis(axis: int, ndim: int) -> int:
     return axis % ndim
 
 
+def describe(x, name: str = "tensor", edge: int = 3) -> str:
+    """Human-readable tensor digest (Tensor.ixx:1114 pretty-print parity)."""
+    arr = np.asarray(jax.device_get(x))
+    flat = arr.reshape(-1)
+    head = ", ".join(f"{v:.4g}" for v in flat[:edge])
+    tail = ", ".join(f"{v:.4g}" for v in flat[-edge:]) if flat.size > edge else ""
+    stats = ""
+    if np.issubdtype(arr.dtype, np.floating) and arr.size:
+        stats = (
+            f" mean={arr.mean():.4g} std={arr.std():.4g}"
+            f" min={arr.min():.4g} max={arr.max():.4g}"
+        )
+    body = f"[{head}, …, {tail}]" if flat.size > 2 * edge else f"[{head}]"
+    return f"{name}{list(arr.shape)} {arr.dtype}{stats} {body}"
+
+
 def compute_axis_partition(shape, axis: int) -> AxisPartition:
     ax = normalize_axis(axis, len(shape))
     outer = 1
