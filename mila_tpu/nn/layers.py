@@ -187,7 +187,7 @@ class Attention(Module):
             )
         from mila_tpu.ops.attention import resolve_attention_impl
 
-        if resolve_attention_impl(cfg.impl) == "flash":
+        if resolve_attention_impl(cfg.impl, seq_len=x.shape[1]) == "flash":
             from mila_tpu.kernels.flash_attention import flash_mha_qkv
 
             return flash_mha_qkv(x, cfg.num_heads, causal=cfg.causal)

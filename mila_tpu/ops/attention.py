@@ -27,11 +27,18 @@ NEG_INF = -1e30  # large-negative mask value, safe in bf16/f32
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
-def resolve_attention_impl(impl: str = "auto") -> str:
+# Measured v5e crossover (benchmarks + TPU probes): XLA's fused attention
+# wins below ~2k tokens; flash wins 2.9-4.3x at 2048-4096 (fwd+bwd).
+FLASH_MIN_SEQ = 2048
+
+
+def resolve_attention_impl(impl: str = "auto", seq_len: int = 0) -> str:
     """Resolve an attention backend name: 'auto' → Pallas flash attention on
-    accelerators, plain XLA on CPU (the jnp functions in this module)."""
+    accelerators for long sequences, plain XLA otherwise."""
     if impl == "auto":
-        return "xla" if jax.default_backend() == "cpu" else "flash"
+        if jax.default_backend() == "cpu":
+            return "xla"
+        return "flash" if (seq_len == 0 or seq_len >= FLASH_MIN_SEQ) else "xla"
     if impl not in ("xla", "flash"):
         raise ValueError(f"unknown attention impl '{impl}'")
     return impl
@@ -40,7 +47,7 @@ def resolve_attention_impl(impl: str = "auto") -> str:
 def attention(q, k, v, *, impl: str = "auto", **kw):
     """Backend-dispatching attention (models route through this; the pure
     jnp `dot_product_attention` below stays the test oracle)."""
-    if resolve_attention_impl(impl) == "flash":
+    if resolve_attention_impl(impl, seq_len=k.shape[1]) == "flash":
         from mila_tpu.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, **kw)
