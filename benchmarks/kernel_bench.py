@@ -163,9 +163,34 @@ def bench_flash_attention(B=4, T=2048, NH=8, D=128, iters=20):
     return results
 
 
+def bench_op_forward_sweeps(iters=32):
+    """GBench-parity sweeps: forward wall time for Linear/Gelu/Softmax over
+    (B, T, C, OC) ranges (reference Benchmarks/GBench/{linear,gelu,softmax}
+    _forward_fp32.cpp)."""
+    from mila_tpu import ops
+
+    key = jax.random.key(0)
+    print("\n== op forward sweeps (bf16) ==")
+    for B, T, C, OC in [(8, 128, 768, 3072), (8, 512, 768, 3072),
+                        (4, 1024, 1024, 4096), (1, 2048, 2048, 8192)]:
+        x = jax.random.normal(key, (B * T, C), jnp.bfloat16)
+        w = jax.random.normal(key, (C, OC), jnp.bfloat16)
+        b = jnp.zeros((OC,), jnp.bfloat16)
+        t = timed_chain(lambda x: ops.linear(x, w, b), (x,), iters)
+        fl = 2 * B * T * C * OC
+        print(f"   linear  B{B} T{T} C{C}->OC{OC}: {t * 1e6:8.1f} us  "
+              f"{fl / t / 1e12:6.1f} TFLOP/s")
+    for n in (1 << 20, 1 << 24):
+        x = jax.random.normal(key, (n // 128, 128), jnp.bfloat16)
+        t = timed_chain(lambda x: ops.gelu(x), (x,), iters)
+        print(f"   gelu    n={n}: {t * 1e6:8.1f} us  {2 * x.nbytes / t / 1e9:6.0f} GB/s")
+        t = timed_chain(lambda x: ops.softmax(x), (x,), iters)
+        print(f"   softmax n={n}: {t * 1e6:8.1f} us  {2 * x.nbytes / t / 1e9:6.0f} GB/s")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="all", choices=["all", "qmm", "flash"])
+    ap.add_argument("--what", default="all", choices=["all", "qmm", "flash", "ops"])
     a = ap.parse_args()
     import mila_tpu
 
@@ -175,3 +200,5 @@ if __name__ == "__main__":
         bench_quant_matmul()
     if a.what in ("all", "flash"):
         bench_flash_attention()
+    if a.what in ("all", "ops"):
+        bench_op_forward_sweeps()
