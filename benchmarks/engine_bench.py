@@ -46,13 +46,23 @@ def main():
                      prefill_buckets=(32, 64, 128), cache_dtype="bfloat16"),
     )
     rng = np.random.default_rng(0)
+
+    # Warmup wave: one request per prefill bucket + the decode path, so the
+    # timed wave measures serving, not compilation.
+    for plen in (8, 40, 100):
+        engine.submit(
+            rng.integers(0, cfg.vocab_size, plen).astype(np.int32),
+            max_new_tokens=engine.config.decode_chunk,
+        )
+    engine.run()
+    engine.stats = {"steps": 0, "prefills": 0, "tokens_out": 0}
+
     reqs = []
     for i in range(args.requests):
         plen = int(rng.integers(8, 100))
         prompt = rng.integers(0, cfg.vocab_size, plen).astype(np.int32)
         reqs.append(engine.submit(prompt, max_new_tokens=args.new_tokens))
 
-    # Warm the compiled paths, then time the full drain.
     t0 = time.monotonic()
     engine.run()
     dt = time.monotonic() - t0

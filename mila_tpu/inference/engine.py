@@ -53,6 +53,10 @@ class EngineConfig:
     max_len: int = 1024
     prefill_buckets: tuple = (32, 64, 128, 256, 512, 1024)
     cache_dtype: str = "bfloat16"
+    # Decode this many tokens per engine step inside one jitted scan before
+    # fetching results (amortizes host round-trips; slots that finish
+    # mid-chunk overshoot harmlessly — their cache is reset on slot reuse).
+    decode_chunk: int = 8
 
 
 class InferenceEngine:
@@ -94,7 +98,8 @@ class InferenceEngine:
             eos_token=eos_token,
             submitted_at=time.monotonic(),
         )
-        if len(req.prompt) + max_new_tokens > self.config.max_len:
+        margin = max(self.config.decode_chunk, 1)
+        if len(req.prompt) + max_new_tokens + margin > self.config.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
         self._queue.append(req)
         return req
@@ -149,19 +154,32 @@ class InferenceEngine:
         return self._prefill_fns[bucket]
 
     def _get_decode_fn(self):
+        """Chunked greedy-capable decode: runs ``decode_chunk`` ragged steps
+        in one lax.scan, sampling on device each step."""
         if self._decode_fn is None:
             model = self.model
             V = model.config.vocab_size
+            chunk = max(self.config.decode_chunk, 1)
 
             @jax.jit
-            def decode(params, cache, tokens, positions):
-                # tokens [B,1]; per-slot positions (ragged decode): attention
-                # masks per slot via its own cache length.
-                B = tokens.shape[0]
-                x_logits, new_cache = _forward_ragged(model, params, tokens, cache, positions)
-                return x_logits[:, -1, :V], new_cache
+            def decode(params, cache, tokens, positions, keys, greedy_mask, temps):
+                def body(carry, key):
+                    toks, cache, pos = carry
+                    logits, cache = _forward_ragged(model, params, toks, cache, pos)
+                    logits = logits[:, -1, :V].astype(jnp.float32)
+                    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    scaled = logits / jnp.maximum(temps[:, None], 1e-6)
+                    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+                    nxt = jnp.where(greedy_mask, greedy_tok, sampled)
+                    return (nxt[:, None], cache, pos + 1), nxt
+
+                (_, cache, _), toks = jax.lax.scan(
+                    body, (tokens, cache, positions), keys
+                )
+                return toks.T, cache  # [B, chunk]
 
             self._decode_fn = decode
+            self._decode_chunk = chunk
         return self._decode_fn
 
     def step(self) -> list[Request]:
@@ -201,33 +219,41 @@ class InferenceEngine:
             self.stats["tokens_out"] += 1
             self._maybe_finish(req, finished)
 
-        # Lock-step decode across active slots. Sampling happens on device
-        # for the whole batch; one host fetch per step covers all slots
-        # (per-token D2H round-trips would dominate on remote TPUs).
+        # Lock-step chunked decode across active slots: `decode_chunk` ragged
+        # steps run inside one jitted scan with on-device sampling, then ONE
+        # host fetch delivers all tokens (per-token D2H would dominate on
+        # remote TPUs). Slots finishing mid-chunk overshoot; extra tokens are
+        # discarded and their cache rows are reset on slot reuse.
         active = [i for i, s in enumerate(self._slots) if s is not None]
         if active:
+            decode = self._get_decode_fn()
+            chunk = self._decode_chunk
             tokens = jnp.asarray(self._last_token[:, None])
             positions = jnp.asarray(self._positions)
-            decode = self._get_decode_fn()
-            logits, self.cache = decode(self.params, self.cache, tokens, positions)
             self._rng, sub = jax.random.split(self._rng)
-            subs = jax.random.split(sub, c.max_batch)
-            # Group slots by sampling config so each group samples in one call.
-            by_cfg: dict = {}
+            keys = jax.random.split(sub, chunk)
+            greedy_mask = np.zeros((c.max_batch,), bool)
+            temps = np.ones((c.max_batch,), np.float32)
             for i in active:
-                by_cfg.setdefault(self._slots[i].sampling, []).append(i)
-            sampled = np.zeros((c.max_batch,), np.int32)
-            for cfg_s, idxs in by_cfg.items():
-                toks = sample_logits(logits[jnp.asarray(idxs)], subs[idxs[0]], cfg_s)
-                sampled[idxs] = np.asarray(toks)
+                s = self._slots[i].sampling
+                greedy_mask[i] = s.greedy or s.temperature == 0.0
+                temps[i] = max(s.temperature, 1e-6)
+            toks_dev, self.cache = decode(
+                self.params, self.cache, tokens, positions,
+                keys, jnp.asarray(greedy_mask), jnp.asarray(temps),
+            )
+            toks = np.asarray(toks_dev)  # [B, chunk] — the single fetch
             for i in active:
                 req = self._slots[i]
-                tok = int(sampled[i])
-                self._positions[i] += 1
-                self._last_token[i] = tok
-                req.output.append(tok)
-                self.stats["tokens_out"] += 1
-                self._maybe_finish(req, finished)
+                for j in range(chunk):
+                    if req.done:
+                        break
+                    req.output.append(int(toks[i, j]))
+                    self.stats["tokens_out"] += 1
+                    self._maybe_finish(req, finished)
+                # The cache advanced by the full chunk for every row.
+                self._positions[i] = int(positions[i]) + chunk
+                self._last_token[i] = int(toks[i, chunk - 1])
             self.stats["steps"] += 1
         return finished
 

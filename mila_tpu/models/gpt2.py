@@ -194,8 +194,12 @@ class GPT2(CompositeModule):
         q = q.reshape(B, t, NH, HS)
         k = k.reshape(B, t, NH, HS)
         v = v.reshape(B, t, NH, HS)
-        k_cache = jax.lax.dynamic_update_slice(cache["k"], k, (0, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(cache["v"], v, (0, pos, 0, 0))
+        k_cache = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
+        )
         total = pos + t
         lens = jnp.full((B,), total, jnp.int32)
         if t == 1:

@@ -161,8 +161,12 @@ class LlamaBlock(CompositeModule):
         q, k, v = self._qkv(params, x)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
-        k_cache = jax.lax.dynamic_update_slice(cache["k"], k, (0, pos, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(cache["v"], v, (0, pos, 0, 0))
+        k_cache = jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
+        )
         B, t = x.shape[:2]
         total = pos + t
         if t == 1:
