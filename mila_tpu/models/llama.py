@@ -131,19 +131,36 @@ class LlamaBlock(CompositeModule):
     def _qkv(self, params, x):
         cfg = self.cfg
         B, T, _ = x.shape
+        NQ = cfg.num_heads * cfg.hd
+        NKVD = cfg.num_kv_heads * cfg.hd
         h = self.get("ln_attn").apply(params["ln_attn"], x)
-        q = self.get("wq").apply(params["wq"], h).reshape(B, T, cfg.num_heads, cfg.hd)
-        k = self.get("wk").apply(params["wk"], h).reshape(B, T, cfg.num_kv_heads, cfg.hd)
-        v = self.get("wv").apply(params["wv"], h).reshape(B, T, cfg.num_kv_heads, cfg.hd)
-        return q, k, v
+        if "wqkv" in params:
+            # Fused projection (fuse_llama_projections): one weight stream
+            # instead of three — fewer kernel launches, better HBM use at
+            # decode batch sizes.
+            qkv = self.get("wq").apply(params["wqkv"], h)
+            q, k, v = jnp.split(qkv, [NQ, NQ + NKVD], axis=-1)
+        else:
+            q = self.get("wq").apply(params["wq"], h)
+            k = self.get("wk").apply(params["wk"], h)
+            v = self.get("wv").apply(params["wv"], h)
+        return (
+            q.reshape(B, T, cfg.num_heads, cfg.hd),
+            k.reshape(B, T, cfg.num_kv_heads, cfg.hd),
+            v.reshape(B, T, cfg.num_kv_heads, cfg.hd),
+        )
 
     def _finish_attn(self, params, x, att):
         B, T = att.shape[:2]
         h = self.get("wo").apply(params["wo"], att.reshape(B, T, -1))
         x = ops.residual(h, x)
         h = self.get("ln_mlp").apply(params["ln_mlp"], x)
-        g = self.get("gate").apply(params["gate"], h)
-        u = self.get("up").apply(params["up"], h)
+        if "wgu" in params:
+            gu = self.get("gate").apply(params["wgu"], h)
+            g, u = jnp.split(gu, 2, axis=-1)
+        else:
+            g = self.get("gate").apply(params["gate"], h)
+            u = self.get("up").apply(params["up"], h)
         h = self.get("down").apply(params["down"], ops.swiglu(g, u))
         return ops.residual(h, x)
 
@@ -183,6 +200,29 @@ class LlamaBlock(CompositeModule):
 
     def output_shape(self, input_shape):
         return tuple(input_shape)
+
+
+def fuse_llama_projections(params: dict) -> dict:
+    """Fuse per-block [wq|wk|wv] → wqkv and [gate|up] → wgu (weights [in, out]
+    concatenated on the out axis). Run BEFORE quantize_model_params so the
+    fused weights quantize as single tensors. Decode-path optimization: 7
+    projection streams per block become 4.
+    """
+    out = dict(params)
+    for name, blk in params.items():
+        if not (isinstance(blk, dict) and "wq" in blk and "gate" in blk):
+            continue
+        b = dict(blk)
+        wqkv = jnp.concatenate(
+            [b["wq"]["weight"], b["wk"]["weight"], b["wv"]["weight"]], axis=1
+        )
+        wgu = jnp.concatenate([b["gate"]["weight"], b["up"]["weight"]], axis=1)
+        b["wqkv"] = {"weight": wqkv}
+        b["wgu"] = {"weight": wgu}
+        for k in ("wq", "wk", "wv", "gate", "up"):
+            del b[k]
+        out[name] = b
+    return out
 
 
 class Llama(CompositeModule):

@@ -118,3 +118,42 @@ class TestHFRoundTrip:
         l_orig = model.apply(params, toks)
         l_loaded = model.apply(jax.tree_util.tree_map(jnp.asarray, loaded), toks)
         np.testing.assert_allclose(l_orig, l_loaded, rtol=1e-5, atol=1e-6)
+
+
+class TestFusedProjections:
+    def test_fused_forward_matches(self, tiny_llama):
+        from mila_tpu.models.llama import fuse_llama_projections
+
+        model, params, cfg = tiny_llama
+        fused = fuse_llama_projections(params)
+        assert "wqkv" in fused["h0"] and "wq" not in fused["h0"]
+        toks = jnp.array([[3, 1, 4, 1, 5]], jnp.int32)
+        np.testing.assert_allclose(
+            model.apply(params, toks), model.apply(fused, toks), rtol=1e-5, atol=1e-5
+        )
+
+    def test_fused_then_quantized(self, tiny_llama):
+        from mila_tpu.inference.quantize import QTensor, quantize_model_params
+        from mila_tpu.models.llama import fuse_llama_projections
+
+        model, params, cfg = tiny_llama
+        fused_q = quantize_model_params(fuse_llama_projections(params), "int8", min_size=1024)
+        assert isinstance(fused_q["h0"]["wqkv"]["weight"], QTensor)
+        toks = jnp.array([[7, 8, 9]], jnp.int32)
+        l_ref = model.apply(params, toks)
+        l_q = model.apply(fused_q, toks)
+        probs_ref = jax.nn.softmax(l_ref)
+        probs_q = jax.nn.softmax(l_q)
+        assert float(jnp.abs(probs_ref - probs_q).max()) < 0.05
+
+    def test_fused_cache_decode_matches(self, tiny_llama):
+        from mila_tpu.models.llama import fuse_llama_projections
+
+        model, params, cfg = tiny_llama
+        fused = fuse_llama_projections(params)
+        toks = jnp.array([[2, 4, 6]], jnp.int32)
+        cache1 = model.init_kv_cache(1, 16, jnp.float32)
+        cache2 = model.init_kv_cache(1, 16, jnp.float32)
+        l1, _ = model.forward_with_cache(params, toks, cache1, 0)
+        l2, _ = model.forward_with_cache(fused, toks, cache2, 0)
+        np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
