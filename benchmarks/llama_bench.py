@@ -121,6 +121,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt-len", type=int, default=128)
     ap.add_argument("--quantize", default="both", choices=["bf16", "int8", "both"])
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse wqkv/wgu projections before (optional) quantization")
     args = ap.parse_args()
 
     import mila_tpu
@@ -130,6 +132,11 @@ def main():
     mila_tpu.initialize(0)
     print("devices:", jax.devices(), file=sys.stderr)
     model, params, cfg = build_model(args.scale, "bfloat16")
+    if args.fuse and args.scale != "gpt2-124m":
+        from mila_tpu.models.llama import fuse_llama_projections
+
+        params = fuse_llama_projections(params)
+        print("fused wqkv/wgu projections", file=sys.stderr)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
     print(f"model {cfg.name}: {n_params/1e9:.2f}B params, "
           f"{format_bytes(model_bytes(params))} bf16", file=sys.stderr)
@@ -141,6 +148,11 @@ def main():
         results["bf16"] = r
     if args.quantize in ("int8", "both"):
         qparams = quantize_model_params(params, "int8")
+        if getattr(model.config, "tie_embeddings", False) and args.scale != "gpt2-124m":
+            from mila_tpu.models.llama import add_quantized_lm_head
+
+            qparams = add_quantized_lm_head(qparams, "int8")
+            print("added quantized lm_head", file=sys.stderr)
         print(f"int8 weights: {format_bytes(model_bytes(qparams))}", file=sys.stderr)
         r = bench_decode(model, qparams, cfg, args.batch, args.prompt_len)
         print(f"int8   b={args.batch}: {r}", file=sys.stderr)

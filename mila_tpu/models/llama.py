@@ -225,6 +225,19 @@ def fuse_llama_projections(params: dict) -> dict:
     return out
 
 
+def add_quantized_lm_head(params: dict, dtype: str = "int8") -> dict:
+    """For tied-embedding models: add an int8/fp8 copy of wte^T used only by
+    the output head (the embedding gather keeps the original precision).
+    Costs one extra int8 copy of the vocab matrix in HBM; halves the head's
+    per-step weight stream."""
+    from mila_tpu.inference.quantize import quantize
+
+    out = dict(params)
+    wte = params["embed"]["wte"]
+    out["lm_head_q"] = quantize(jnp.asarray(wte).T, dtype)
+    return out
+
+
 class Llama(CompositeModule):
     def __init__(self, config: LlamaConfig):
         super().__init__(config)
@@ -266,6 +279,13 @@ class Llama(CompositeModule):
         )
 
     def _logits(self, params, x):
+        if "lm_head_q" in params:
+            # Quantized head (add_quantized_lm_head): the tied-embedding
+            # head matmul otherwise streams the full bf16 wte every step —
+            # the single largest weight read at decode.
+            from mila_tpu.kernels.quant_matmul import quant_linear
+
+            return quant_linear(x, params["lm_head_q"])
         if self.config.tie_embeddings:
             return ops.linear(x, params["embed"]["wte"].T, None)
         return self.get("lm_head").apply(params["lm_head"], x)

@@ -157,3 +157,15 @@ class TestFusedProjections:
         l1, _ = model.forward_with_cache(params, toks, cache1, 0)
         l2, _ = model.forward_with_cache(fused, toks, cache2, 0)
         np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
+
+    def test_quantized_lm_head(self, tiny_llama):
+        from mila_tpu.models.llama import add_quantized_lm_head
+
+        model, params, cfg = tiny_llama
+        qp = add_quantized_lm_head(params)
+        toks = jnp.array([[1, 2, 3]], jnp.int32)
+        l_ref = model.apply(params, toks)
+        l_q = model.apply(qp, toks)
+        p_ref = jax.nn.softmax(l_ref)
+        p_q = jax.nn.softmax(l_q)
+        assert float(jnp.abs(p_ref - p_q).max()) < 0.03
