@@ -108,11 +108,16 @@ def bench_llama_decode() -> dict:
 
     import mila_tpu
     from mila_tpu.inference.quantize import quantize_model_params
+    from mila_tpu.models.llama import add_quantized_lm_head, fuse_llama_projections
 
     mila_tpu.initialize(0)
     model, params, cfg = build_model("1b", "bfloat16")
+    # Decode-path weight-stream optimizations (numerics covered by
+    # tests/models/test_llama.py::test_fused_*): fuse wqkv/wgu so 7 weight
+    # streams per block become 4, and give the tied lm_head an int8 copy.
+    params = fuse_llama_projections(params)
     r_bf16 = bench_decode(model, params, cfg, batch=8, prompt_len=128)
-    qparams = quantize_model_params(params, "int8")
+    qparams = add_quantized_lm_head(quantize_model_params(params, "int8"), "int8")
     r_int8 = bench_decode(model, qparams, cfg, batch=8, prompt_len=128)
     return {
         "metric": "llama32_1b_int8_decode_tok_s_chip",

@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--new-tokens", type=int, default=64)
     ap.add_argument("--scale", default="char", choices=["char", "gpt2-124m"])
+    ap.add_argument("--layout", default="auto", choices=["auto", "paged", "contiguous"])
+    ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
     args = ap.parse_args()
 
     import jax
@@ -43,7 +45,8 @@ def main():
     engine = InferenceEngine(
         model, params,
         EngineConfig(max_batch=args.max_batch, max_len=512,
-                     prefill_buckets=(32, 64, 128), cache_dtype="bfloat16"),
+                     prefill_buckets=(32, 64, 128), cache_dtype=args.kv_dtype,
+                     kv_layout=args.layout),
     )
     rng = np.random.default_rng(0)
 
@@ -55,7 +58,7 @@ def main():
             max_new_tokens=engine.config.decode_chunk,
         )
     engine.run()
-    engine.stats = {"steps": 0, "prefills": 0, "tokens_out": 0}
+    engine.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0}
 
     reqs = []
     for i in range(args.requests):
@@ -82,6 +85,8 @@ def main():
             "ttft_p95_ms": round(ttfts[int(len(ttfts) * 0.95)] * 1e3, 1),
             "prefills": engine.stats["prefills"],
             "decode_steps": engine.stats["steps"],
+            "kv_layout": engine.kv_layout,
+            "kv_dtype": args.kv_dtype,
         },
     }
     print(json.dumps(result))

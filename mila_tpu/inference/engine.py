@@ -1,4 +1,4 @@
-"""Inference engine: continuous batching over a slotted KV cache.
+"""Inference engine: continuous batching over a paged (or slotted) KV cache.
 
 Parity: reference ``InferenceEngine`` (Engine/InferenceEngine.ixx:19 —
 aspirational skeleton: load/predict/validate), completed here per BASELINE:
@@ -7,14 +7,20 @@ per-request sampling/EOS, slot recycling. Static shapes throughout (XLA):
 ``max_batch`` decode slots, bucketed prefill lengths, one compiled decode
 program reused for every step.
 
-The decode path runs over a contiguous per-slot KV cache [max_batch, maxT]
-(the paged pool in :mod:`mila_tpu.inference.kv_cache` is the HBM-frugal
-variant; both share the attention contract).
+Two KV layouts share the engine logic:
+
+- ``paged`` (default for models with a paged forward): HBM page pools
+  [L, NKV, P, ps, HD] + host-side :class:`PageAllocator`; decode reads pages
+  through the Pallas paged-attention kernel, admission prefills a whole
+  bucket batch in ONE jitted call and writes pages through the table.
+- ``contiguous``: per-slot [max_batch, maxT] caches (simpler; what the
+  reference's aspirational engine would have grown into).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import time
 from typing import Any, Callable, Optional
@@ -23,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mila_tpu.inference.kv_cache import PageAllocator
 from mila_tpu.inference.sampling import SamplingConfig, sample_logits
 from mila_tpu.utils.logging import Logger
 
@@ -34,9 +41,13 @@ class Request:
     max_new_tokens: int
     sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
     eos_token: Optional[int] = None
+    priority: int = 0  # lower = served first; FIFO within a priority level
+    # Streaming: called with (request, token_id) for every emitted token.
+    on_token: Optional[Callable] = None
     # filled by the engine:
     output: list = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
     slot: int = -1
     submitted_at: float = 0.0
     first_token_at: float = 0.0
@@ -45,6 +56,10 @@ class Request:
     @property
     def ttft_s(self) -> float:
         return (self.first_token_at - self.submitted_at) if self.first_token_at else 0.0
+
+    def cancel(self) -> None:
+        """Request cancellation; the engine retires it at the next step."""
+        self.cancelled = True
 
 
 @dataclasses.dataclass
@@ -57,20 +72,42 @@ class EngineConfig:
     # fetching results (amortizes host round-trips; slots that finish
     # mid-chunk overshoot harmlessly — their cache is reset on slot reuse).
     decode_chunk: int = 8
+    # KV layout: "auto" picks paged when the model implements the paged
+    # forward protocol (init_paged_cache/forward_paged_*), else contiguous.
+    kv_layout: str = "auto"  # auto | paged | contiguous
+    page_size: int = 128
+    num_pages: int = 0  # 0 → max_batch * ceil(max_len/page_size) + 1
 
 
 class InferenceEngine:
-    """Continuous-batching engine over a cache-capable model
-    (``init_kv_cache`` + ``forward_with_cache``)."""
+    """Continuous-batching engine over a cache-capable model."""
 
     def __init__(self, model, params, config: Optional[EngineConfig] = None):
         self.model = model
         self.params = params
         self.config = config or EngineConfig()
         c = self.config
-        self.cache = model.init_kv_cache(
-            c.max_batch, c.max_len, jnp.dtype(c.cache_dtype)
-        )
+        paged_capable = hasattr(model, "forward_paged_ragged")
+        if c.kv_layout == "auto":
+            self.kv_layout = "paged" if paged_capable else "contiguous"
+        else:
+            if c.kv_layout == "paged" and not paged_capable:
+                raise ValueError("model has no paged-forward protocol")
+            self.kv_layout = c.kv_layout
+        dt = jnp.dtype(c.cache_dtype)
+        if dt == jnp.int8 and self.kv_layout != "paged":
+            raise ValueError("int8 KV cache requires the paged layout")
+        if self.kv_layout == "paged":
+            ps = c.page_size
+            width = -(-c.max_len // ps)
+            num_pages = c.num_pages or (c.max_batch * width + 1)
+            self.pools = model.init_paged_cache(num_pages, ps, dt)
+            self.alloc = PageAllocator(num_pages, ps, c.max_batch, c.max_len)
+            self.cache = None
+        else:
+            self.cache = model.init_kv_cache(c.max_batch, c.max_len, dt)
+            self.pools = None
+            self.alloc = None
         self._slots: list[Optional[Request]] = [None] * c.max_batch
         self._queue: list[Request] = []
         self._req_ids = itertools.count()
@@ -79,7 +116,7 @@ class InferenceEngine:
         self._rng = jax.random.key(0)
         self._decode_fn = None
         self._prefill_fns: dict[int, Callable] = {}
-        self.stats = {"steps": 0, "prefills": 0, "tokens_out": 0}
+        self.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0}
 
     # ------------- public API -------------
 
@@ -89,6 +126,8 @@ class InferenceEngine:
         max_new_tokens: int = 64,
         sampling: Optional[SamplingConfig] = None,
         eos_token: Optional[int] = None,
+        priority: int = 0,
+        on_token: Optional[Callable] = None,
     ) -> Request:
         req = Request(
             id=next(self._req_ids),
@@ -96,12 +135,16 @@ class InferenceEngine:
             max_new_tokens=max_new_tokens,
             sampling=sampling or SamplingConfig(greedy=True),
             eos_token=eos_token,
+            priority=priority,
+            on_token=on_token,
             submitted_at=time.monotonic(),
         )
         margin = max(self.config.decode_chunk, 1)
         if len(req.prompt) + max_new_tokens + margin > self.config.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
         self._queue.append(req)
+        # Priority order, FIFO within a level (stable sort by (priority, id)).
+        self._queue.sort(key=lambda r: (r.priority, r.id))
         return req
 
     def has_work(self) -> bool:
@@ -121,6 +164,8 @@ class InferenceEngine:
             if n <= b and b <= self.config.max_len:
                 return b
         raise ValueError(f"prompt length {n} exceeds buckets")
+
+    # ---- contiguous-layout prefill ----
 
     def _get_prefill_fn(self, bucket: int):
         if bucket not in self._prefill_fns:
@@ -153,77 +198,187 @@ class InferenceEngine:
             self._prefill_fns[bucket] = prefill
         return self._prefill_fns[bucket]
 
+    # ---- paged-layout prefill (batched: all same-bucket admissions in one
+    # call; rows not being admitted get a zero page-table row, so their
+    # writes land on the reserved garbage page 0) ----
+
+    def _get_paged_prefill_fn(self, bucket: int):
+        key = ("paged", bucket)
+        if key not in self._prefill_fns:
+            model = self.model
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(params, pools, tokens, table, true_len):
+                return model.forward_paged_prefill(
+                    params, tokens, pools, table, true_len
+                )
+
+            self._prefill_fns[key] = prefill
+        return self._prefill_fns[key]
+
     def _get_decode_fn(self):
         """Chunked greedy-capable decode: runs ``decode_chunk`` ragged steps
-        in one lax.scan, sampling on device each step."""
+        in one jitted lax.scan, sampling on device each step."""
         if self._decode_fn is None:
             model = self.model
             V = model.config.vocab_size
             chunk = max(self.config.decode_chunk, 1)
+            paged = self.kv_layout == "paged"
 
-            @jax.jit
-            def decode(params, cache, tokens, positions, keys, greedy_mask, temps):
-                def body(carry, key):
-                    toks, cache, pos = carry
-                    logits, cache = _forward_ragged(model, params, toks, cache, pos)
-                    logits = logits[:, -1, :V].astype(jnp.float32)
-                    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                    scaled = logits / jnp.maximum(temps[:, None], 1e-6)
-                    sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
-                    nxt = jnp.where(greedy_mask, greedy_tok, sampled)
-                    return (nxt[:, None], cache, pos + 1), nxt
+            def sample_step(logits, key, greedy_mask, temps):
+                logits = logits.astype(jnp.float32)
+                greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                scaled = logits / jnp.maximum(temps[:, None], 1e-6)
+                sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+                return jnp.where(greedy_mask, greedy_tok, sampled)
 
-                (_, cache, _), toks = jax.lax.scan(
-                    body, (tokens, cache, positions), keys
-                )
-                return toks.T, cache  # [B, chunk]
+            if paged:
+
+                @functools.partial(jax.jit, donate_argnums=(1,))
+                def decode(params, pools, table, tokens, positions, keys,
+                           greedy_mask, temps):
+                    def body(carry, key):
+                        toks, pools, pos = carry
+                        logits, pools = model.forward_paged_ragged(
+                            params, toks, pools, table, pos
+                        )
+                        nxt = sample_step(logits[:, -1, :V], key, greedy_mask, temps)
+                        return (nxt[:, None], pools, pos + 1), nxt
+
+                    (_, pools, _), toks = jax.lax.scan(
+                        body, (tokens, pools, positions), keys
+                    )
+                    return toks.T, pools  # [B, chunk]
+
+            else:
+
+                @jax.jit
+                def decode(params, cache, tokens, positions, keys, greedy_mask, temps):
+                    def body(carry, key):
+                        toks, cache, pos = carry
+                        logits, cache = model.forward_with_cache_ragged(
+                            params, toks, cache, pos
+                        )
+                        nxt = sample_step(logits[:, -1, :V], key, greedy_mask, temps)
+                        return (nxt[:, None], cache, pos + 1), nxt
+
+                    (_, cache, _), toks = jax.lax.scan(
+                        body, (tokens, cache, positions), keys
+                    )
+                    return toks.T, cache  # [B, chunk]
 
             self._decode_fn = decode
             self._decode_chunk = chunk
         return self._decode_fn
 
-    def step(self) -> list[Request]:
-        """One engine iteration: admit+prefill new requests, one decode step
-        for all active slots. Returns requests finished this step."""
-        c = self.config
-        finished: list[Request] = []
+    def _drop_cancelled(self, finished: list[Request]) -> None:
+        still: list[Request] = []
+        for r in self._queue:
+            if r.cancelled:
+                self._retire(r, finished)
+            else:
+                still.append(r)
+        self._queue = still
+        for req in list(self._slots):
+            if req is not None and req.cancelled:
+                self._retire(req, finished)
 
-        # Admission: fill free slots from the queue (prefill one per step
-        # keeps the step latency bounded).
+    def _admit(self, finished: list[Request]) -> None:
+        """Fill free slots from the queue and prefill them."""
+        c = self.config
+        admitted: list[Request] = []
         while self._queue and any(s is None for s in self._slots):
             req = self._queue.pop(0)
             slot = next(i for i, s in enumerate(self._slots) if s is None)
             req.slot = slot
             self._slots[slot] = req
+            admitted.append(req)
+        if not admitted:
+            return
+        if self.kv_layout == "paged":
+            # Batched prefill: one jitted call per bucket present this round.
+            groups: dict[int, list[Request]] = {}
+            for req in admitted:
+                groups.setdefault(self._bucket_for(len(req.prompt)), []).append(req)
+            for bucket, reqs in sorted(groups.items()):
+                self._paged_prefill_group(bucket, reqs, finished)
+        else:
+            for req in admitted:
+                self._contiguous_prefill(req, finished)
+
+    def _paged_prefill_group(self, bucket: int, reqs: list[Request],
+                             finished: list[Request]) -> None:
+        c = self.config
+        tokens = np.zeros((c.max_batch, bucket), np.int32)
+        table = np.zeros((c.max_batch, self.alloc.table_width), np.int32)
+        true_len = np.zeros((c.max_batch,), np.int32)
+        for req in reqs:
             T0 = len(req.prompt)
-            bucket = self._bucket_for(T0)
-            tokens = np.zeros((1, bucket), np.int32)
-            tokens[0, :T0] = req.prompt
-            onehot = np.zeros((c.max_batch,), np.float32)
-            onehot[slot] = 1.0
-            prefill = self._get_prefill_fn(bucket)
-            logits, self.cache = prefill(
-                self.params,
-                self.cache,
-                jnp.asarray(tokens),
-                jnp.asarray(onehot),
-                jnp.asarray([T0], jnp.int32),
-            )
+            self.alloc.ensure(req.slot, bucket)
+            tokens[req.slot, :T0] = req.prompt
+            table[req.slot] = self.alloc.table[req.slot]
+            true_len[req.slot] = T0
+        prefill = self._get_paged_prefill_fn(bucket)
+        logits, self.pools = prefill(
+            self.params,
+            self.pools,
+            jnp.asarray(tokens),
+            jnp.asarray(table),
+            jnp.asarray(true_len),
+        )
+        logits = np.asarray(logits)  # [max_batch, V] — one fetch per group
+        V = self.model.config.vocab_size
+        for req in reqs:
+            T0 = len(req.prompt)
+            self.alloc.trim(req.slot, T0)  # release bucket-padding pages
             self._rng, sub = jax.random.split(self._rng)
-            tok = int(sample_logits(logits[0, : self.model.config.vocab_size], sub, req.sampling))
-            req.output.append(tok)
+            tok = int(sample_logits(jnp.asarray(logits[req.slot, :V]), sub, req.sampling))
+            self._emit(req, tok)
             req.first_token_at = time.monotonic()
-            self._positions[slot] = T0
-            self._last_token[slot] = tok
+            self._positions[req.slot] = T0
+            self._last_token[req.slot] = tok
             self.stats["prefills"] += 1
-            self.stats["tokens_out"] += 1
             self._maybe_finish(req, finished)
+
+    def _contiguous_prefill(self, req: Request, finished: list[Request]) -> None:
+        c = self.config
+        T0 = len(req.prompt)
+        bucket = self._bucket_for(T0)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :T0] = req.prompt
+        onehot = np.zeros((c.max_batch,), np.float32)
+        onehot[req.slot] = 1.0
+        prefill = self._get_prefill_fn(bucket)
+        logits, self.cache = prefill(
+            self.params,
+            self.cache,
+            jnp.asarray(tokens),
+            jnp.asarray(onehot),
+            jnp.asarray([T0], jnp.int32),
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        tok = int(sample_logits(logits[0, : self.model.config.vocab_size], sub, req.sampling))
+        self._emit(req, tok)
+        req.first_token_at = time.monotonic()
+        self._positions[req.slot] = T0
+        self._last_token[req.slot] = tok
+        self.stats["prefills"] += 1
+        self._maybe_finish(req, finished)
+
+    def step(self) -> list[Request]:
+        """One engine iteration: retire cancellations, admit+prefill queued
+        requests, one chunked decode for all active slots. Returns requests
+        finished this step."""
+        c = self.config
+        finished: list[Request] = []
+        self._drop_cancelled(finished)
+        self._admit(finished)
 
         # Lock-step chunked decode across active slots: `decode_chunk` ragged
         # steps run inside one jitted scan with on-device sampling, then ONE
         # host fetch delivers all tokens (per-token D2H would dominate on
         # remote TPUs). Slots finishing mid-chunk overshoot; extra tokens are
-        # discarded and their cache rows are reset on slot reuse.
+        # discarded and their cache rows/pages are reclaimed on retirement.
         active = [i for i, s in enumerate(self._slots) if s is not None]
         if active:
             decode = self._get_decode_fn()
@@ -238,42 +393,60 @@ class InferenceEngine:
                 s = self._slots[i].sampling
                 greedy_mask[i] = s.greedy or s.temperature == 0.0
                 temps[i] = max(s.temperature, 1e-6)
-            toks_dev, self.cache = decode(
-                self.params, self.cache, tokens, positions,
-                keys, jnp.asarray(greedy_mask), jnp.asarray(temps),
-            )
+            if self.kv_layout == "paged":
+                for i in active:
+                    self.alloc.ensure(i, int(self._positions[i]) + chunk)
+                toks_dev, self.pools = decode(
+                    self.params, self.pools, jnp.asarray(self.alloc.table),
+                    tokens, positions, keys,
+                    jnp.asarray(greedy_mask), jnp.asarray(temps),
+                )
+            else:
+                toks_dev, self.cache = decode(
+                    self.params, self.cache, tokens, positions,
+                    keys, jnp.asarray(greedy_mask), jnp.asarray(temps),
+                )
             toks = np.asarray(toks_dev)  # [B, chunk] — the single fetch
             for i in active:
                 req = self._slots[i]
                 for j in range(chunk):
                     if req.done:
                         break
-                    req.output.append(int(toks[i, j]))
-                    self.stats["tokens_out"] += 1
+                    self._emit(req, int(toks[i, j]))
                     self._maybe_finish(req, finished)
-                # The cache advanced by the full chunk for every row.
-                self._positions[i] = int(positions[i]) + chunk
-                self._last_token[i] = int(toks[i, chunk - 1])
+                # The cache advanced by the full chunk for every live row.
+                if self._slots[i] is not None:
+                    self._positions[i] = int(positions[i]) + chunk
+                    self._last_token[i] = int(toks[i, chunk - 1])
             self.stats["steps"] += 1
         return finished
 
+    def _emit(self, req: Request, tok: int) -> None:
+        req.output.append(tok)
+        self.stats["tokens_out"] += 1
+        if req.on_token is not None:
+            req.on_token(req, tok)
+
     def _maybe_finish(self, req: Request, finished: list) -> None:
         hit_eos = req.eos_token is not None and req.output and req.output[-1] == req.eos_token
-        if len(req.output) >= req.max_new_tokens or hit_eos:
-            req.done = True
-            req.finished_at = time.monotonic()
-            finished.append(req)
+        if len(req.output) >= req.max_new_tokens or hit_eos or req.cancelled:
+            self._retire(req, finished)
+
+    def _retire(self, req: Request, finished: list) -> None:
+        req.done = True
+        req.finished_at = time.monotonic()
+        if req.cancelled:
+            self.stats["cancelled"] += 1
+        finished.append(req)
+        if req.slot >= 0 and self._slots[req.slot] is req:
+            if self.kv_layout == "paged":
+                self.alloc.release(req.slot)
+            self._positions[req.slot] = 0
+            self._last_token[req.slot] = 0
             self._slots[req.slot] = None
 
 
 def _forward_ragged(model, params, tokens, cache, positions):
-    """Decode forward where each batch row sits at its own position.
-
-    Uses the model's cache step with per-row positions: RoPE/positional
-    lookups take per-row position ids; attention masks per-row lengths.
-    """
-    # GPT2/Llama forward_with_cache take a scalar pos; emulate ragged decode
-    # by running with per-row positions via vmap-style indexing inside the
-    # model would require model support. Instead we exploit that decode
-    # writes at position[i] per row: implement here generically.
+    """Decode forward where each batch row sits at its own position
+    (contiguous layout; kept for external callers)."""
     return model.forward_with_cache_ragged(params, tokens, cache, positions)

@@ -52,6 +52,128 @@ class PagedCacheConfig:
         return 2 * per
 
 
+def kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization over the trailing (head_dim) axis.
+
+    x [..., HD] → (q int8 [..., HD], scale f32 [...]) — one scale per
+    (token, head), the granularity the paged kernel dequantizes at.
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.round(x32 / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def make_paged_pools(num_layers: int, num_kv_heads: int, head_dim: int,
+                     num_pages: int, page_size: int, dtype) -> dict:
+    """Page pools [L, NKV, P, ps, HD] (head-major: one DMA per (head, page)).
+
+    int8 dtype adds per-(head, page, token) scale planes [L, NKV, P, ps] —
+    the quantized-KV layout (halves the decode KV stream; BASELINE
+    "quantized-paged" design).
+    """
+    dt = jnp.dtype(dtype)
+    shape = (num_layers, num_kv_heads, num_pages, page_size, head_dim)
+    pools = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+    if dt == jnp.int8:
+        pools["k_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+        pools["v_scale"] = jnp.zeros(shape[:-1], jnp.float32)
+    return pools
+
+
+def paged_scatter(pools: dict, layer: int, page_ids, offs, k, v) -> dict:
+    """Write new K/V through the page table.
+
+    ``page_ids``/``offs`` are index arrays with leading dims matching k/v's
+    leading dims ([B] for decode, [B, T] for prefill); k/v are
+    [..., NKV, HD]. NB: the static ``layer`` index is an *advanced* index
+    separated from the index arrays by the head-axis slice, so the index
+    dims land at the FRONT of the updated slice — exactly k/v's natural
+    layout, no transpose needed.
+    """
+    pools = dict(pools)
+    if "k_scale" in pools:
+        qk, sk = kv_quantize(k)
+        qv, sv = kv_quantize(v)
+        pools["k"] = pools["k"].at[layer, :, page_ids, offs, :].set(qk)
+        pools["v"] = pools["v"].at[layer, :, page_ids, offs, :].set(qv)
+        pools["k_scale"] = pools["k_scale"].at[layer, :, page_ids, offs].set(sk)
+        pools["v_scale"] = pools["v_scale"].at[layer, :, page_ids, offs].set(sv)
+        return pools
+    pools["k"] = pools["k"].at[layer, :, page_ids, offs, :].set(
+        k.astype(pools["k"].dtype)
+    )
+    pools["v"] = pools["v"].at[layer, :, page_ids, offs, :].set(
+        v.astype(pools["v"].dtype)
+    )
+    return pools
+
+
+def paged_attention_read(pools: dict, layer: int, q, page_table, seq_lens):
+    """Decode-attention read of one layer's pages (dequantizing if int8)."""
+    from mila_tpu.kernels.paged_attention import paged_decode_attention
+
+    return paged_decode_attention(
+        q,
+        pools["k"][layer],
+        pools["v"][layer],
+        page_table,
+        seq_lens,
+        k_scale=pools["k_scale"][layer] if "k_scale" in pools else None,
+        v_scale=pools["v_scale"][layer] if "v_scale" in pools else None,
+    )
+
+
+class PageAllocator:
+    """Host-side page allocator for the engine's paged decode path.
+
+    Page 0 is reserved as a garbage page: table rows of inactive slots point
+    at it, so the lock-step decode's K/V writes from finished/empty rows land
+    somewhere harmless (never read — their seq_lens stay 0/1).
+    """
+
+    def __init__(self, num_pages: int, page_size: int, max_slots: int, max_len: int):
+        if num_pages < 2:
+            raise ValueError("need at least 2 pages (page 0 is reserved)")
+        self.page_size = page_size
+        self.num_pages = num_pages
+        self.table_width = -(-max_len // page_size)
+        self._free = list(range(num_pages - 1, 0, -1))  # page 0 reserved
+        self.table = np.zeros((max_slots, self.table_width), np.int32)
+        self._used = np.zeros((max_slots,), np.int32)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def pages_for(self, length: int) -> int:
+        return -(-length // self.page_size)
+
+    def ensure(self, slot: int, new_len: int) -> None:
+        """Grow the slot's page list to cover ``new_len`` tokens."""
+        need = self.pages_for(new_len)
+        if need > self.table_width:
+            raise RuntimeError(f"length {new_len} exceeds table width")
+        while self._used[slot] < need:
+            if not self._free:
+                raise RuntimeError("KV page pool exhausted")
+            self.table[slot, self._used[slot]] = self._free.pop()
+            self._used[slot] += 1
+
+    def trim(self, slot: int, keep_len: int) -> None:
+        """Release pages beyond ``keep_len`` tokens (bucket-padding cleanup)."""
+        keep = self.pages_for(keep_len)
+        while self._used[slot] > keep:
+            self._used[slot] -= 1
+            idx = int(self._used[slot])
+            self._free.append(int(self.table[slot, idx]))
+            self.table[slot, idx] = 0
+
+    def release(self, slot: int) -> None:
+        self.trim(slot, 0)
+
+
 class PagedKVCache:
     """Device page pool + host allocator state.
 

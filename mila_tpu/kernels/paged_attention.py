@@ -38,18 +38,20 @@ def _paged_kernel(
     q_ref,  # [1, 1, G8, HD] VMEM (per (b, h) block)
     k_pages_ref,  # [NKV, P, ps, HD] ANY/HBM
     v_pages_ref,
-    # output
-    o_ref,  # [1, 1, G8, HD] VMEM
-    # scratch
-    k_buf, v_buf,  # VMEM [2, ppb, ps, HD]
-    k_sem, v_sem,  # DMA sems [2]
-    m_scr, l_scr, acc_scr,  # VMEM [G8, 128], [G8, 128], [G8, HD]
-    *,
+    *rest,  # [ks_ref, vs_ref] if quant, then o_ref + scratch
     pages_per_block: int,
     page_size: int,
     num_blocks: int,
     sm_scale: float,
+    quant: bool,
 ):
+    if quant:
+        # Scale planes [NKV, P, ps] f32 in HBM + their VMEM double buffers.
+        (ks_ref, vs_ref, o_ref, k_buf, v_buf, ks_buf, vs_buf,
+         k_sem, v_sem, s_sem, m_scr, l_scr, acc_scr) = rest
+    else:
+        ks_ref = vs_ref = ks_buf = vs_buf = s_sem = None
+        (o_ref, k_buf, v_buf, k_sem, v_sem, m_scr, l_scr, acc_scr) = rest
     b = pl.program_id(0)
     h = pl.program_id(1)
     blk = pl.program_id(2)
@@ -69,11 +71,24 @@ def _paged_kernel(
                 v_buf.at[dst_slot, i],
                 v_sem.at[dst_slot],
             ).start()
+            if quant:
+                pltpu.make_async_copy(
+                    ks_ref.at[h, page],
+                    ks_buf.at[dst_slot, i],
+                    s_sem.at[dst_slot],
+                ).start()
+                pltpu.make_async_copy(
+                    vs_ref.at[h, page],
+                    vs_buf.at[dst_slot, i],
+                    s_sem.at[dst_slot],
+                ).start()
 
     def wait_copy(slot):
         # One shared semaphore per buffer slot counts all page copies.
         pltpu.semaphore_wait(k_sem.at[slot], pages_per_block)
         pltpu.semaphore_wait(v_sem.at[slot], pages_per_block)
+        if quant:
+            pltpu.semaphore_wait(s_sem.at[slot], 2 * pages_per_block)
 
     @pl.when(blk == 0)
     def _init():
@@ -101,6 +116,9 @@ def _paged_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale  # [G8, bk]
+        if quant:
+            # Per-token K scales: s_ij = (q_i · q8k_j) * kscale_j * sm_scale.
+            s = s * ks_buf[slot].reshape(1, bk)
         pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + blk * bk
         s = jnp.where(pos < length, s, MASK_VALUE)
 
@@ -116,6 +134,9 @@ def _paged_kernel(
         m_scr[...] = m_next
         l_scr[...] = l_next
         v = v_buf[slot].reshape(bk, v_buf.shape[-1]).astype(jnp.float32)
+        if quant:
+            # Fold per-token V scales into p (cheaper: [G8,bk] vs [bk,HD]).
+            p = p * vs_buf[slot].reshape(1, bk)
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
             p, v, preferred_element_type=jnp.float32
         )
@@ -134,6 +155,8 @@ def paged_decode_attention(
     page_table: jax.Array,  # [B, W] int32
     seq_lens: jax.Array,  # [B] int32
     *,
+    k_scale: Optional[jax.Array] = None,  # [NKV, P, ps] f32 (int8 KV pages)
+    v_scale: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     pages_per_block: int = 4,
     interpret: Optional[bool] = None,
@@ -143,26 +166,40 @@ def paged_decode_attention(
     Page layout here is head-major [NKV, P, ps, HD] (one DMA per (head,
     page)); :class:`mila_tpu.inference.kv_cache.PagedKVCache` stores
     [P, ps, NKV, HD] per layer — transpose once at setup.
+
+    With ``k_scale``/``v_scale`` the pages hold int8 values quantized
+    per (head, page, token); the kernel streams half the KV bytes plus
+    tiny scale rows and dequantizes on the fly (scales folded into the
+    score / probability matrices, never into the [bk, HD] tiles).
     """
     B, one, NH, HD = q.shape
     NKV, P, ps, _ = k_pages.shape
     W = page_table.shape[1]
     G = NH // NKV
     sm_scale = 1.0 / math.sqrt(HD) if scale is None else scale
+    quant = k_scale is not None
 
     interp = _interpret_default() if interpret is None else interpret
-    if interp or G % 8 != 0 and G != NH:
-        # The DMA/semaphore path needs real hardware; G must tile sublanes.
+    if interp:
+        # The DMA/semaphore path needs real hardware.
         from mila_tpu.inference.kv_cache import paged_decode_attention_ref
 
-        kp = k_pages.transpose(1, 2, 0, 3)
-        vp = v_pages.transpose(1, 2, 0, 3)
+        kp, vp = k_pages, v_pages
+        if quant:
+            kp = kp.astype(jnp.float32) * k_scale[..., None]
+            vp = vp.astype(jnp.float32) * v_scale[..., None]
+            kp = kp.astype(q.dtype)
+            vp = vp.astype(q.dtype)
+        kp = kp.transpose(1, 2, 0, 3)
+        vp = vp.transpose(1, 2, 0, 3)
         return paged_decode_attention_ref(
             q, kp, vp, page_table, seq_lens, scale=sm_scale
         )
 
-    # Pad the group axis to the sublane minimum.
-    G8 = max(8, G)
+    # Pad the group axis up to the sublane minimum (zero q rows contribute
+    # nothing; padded outputs are sliced off). Decode attention is KV-stream
+    # bound, so the extra MXU rows are free.
+    G8 = -(-G // 8) * 8
     qg = q.reshape(B, NKV, G, HD)
     if G8 != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, G8 - G), (0, 0)))
@@ -174,6 +211,38 @@ def paged_decode_attention(
     num_blocks = W // pages_per_block
     grid = (B, NKV, num_blocks)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, G8, HD), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [qg, k_pages, v_pages]
+    scratch = [
+        pltpu.VMEM((2, pages_per_block, ps, HD), k_pages.dtype),
+        pltpu.VMEM((2, pages_per_block, ps, HD), v_pages.dtype),
+    ]
+    if quant:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        args += [k_scale.astype(jnp.float32), v_scale.astype(jnp.float32)]
+        scratch += [
+            pltpu.VMEM((2, pages_per_block, ps), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, ps), jnp.float32),
+        ]
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if quant:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch += [
+        pltpu.VMEM((G8, 128), jnp.float32),
+        pltpu.VMEM((G8, 128), jnp.float32),
+        pltpu.VMEM((G8, HD), jnp.float32),
+    ]
+
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel,
@@ -181,33 +250,20 @@ def paged_decode_attention(
             page_size=ps,
             num_blocks=num_blocks,
             sm_scale=sm_scale,
+            quant=quant,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, G8, HD), lambda b, h, i: (b, h, 0, 0)
-                ),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, G8, HD), lambda b, h, i: (b, h, 0, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((2, pages_per_block, ps, HD), k_pages.dtype),
-                pltpu.VMEM((2, pages_per_block, ps, HD), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.VMEM((G8, 128), jnp.float32),
-                pltpu.VMEM((G8, 128), jnp.float32),
-                pltpu.VMEM((G8, HD), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, NKV, G8, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(seq_lens.astype(jnp.int32), page_table.astype(jnp.int32), qg, k_pages, v_pages)
+    )(seq_lens.astype(jnp.int32), page_table.astype(jnp.int32), *args)
 
     out = out[:, :, :G].reshape(B, 1, NH, HD)
     return out

@@ -239,6 +239,93 @@ class GPT2(CompositeModule):
         x = self.get("ln_f").apply(params["ln_f"], x)
         return self._logits(params, x), new_cache
 
+    # --- paged KV-cache path (engine default) ---
+
+    def _qkv_step(self, blk, bp, x):
+        cfg: GPT2Config = self.config
+        B, t, C = x.shape
+        NH = cfg.num_heads
+        HS = C // NH
+        h = blk.get("ln1").apply(bp["ln1"], x)
+        qkv = blk.get("qkv").apply(bp["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return (
+            q.reshape(B, t, NH, HS),
+            k.reshape(B, t, NH, HS),
+            v.reshape(B, t, NH, HS),
+        )
+
+    def _finish_block(self, blk, bp, x, att):
+        B, t = att.shape[:2]
+        h = blk.get("proj").apply(bp["proj"], att.reshape(B, t, -1))
+        x = ops.residual(h, x)
+        h = blk.get("ln2").apply(bp["ln2"], x)
+        h = blk.get("mlp").apply(bp["mlp"], h)
+        return ops.residual(h, x)
+
+    def init_paged_cache(self, num_pages: int, page_size: int = 128,
+                         dtype=jnp.bfloat16) -> dict:
+        """Page pools [L, NH, P, ps, HS] (head-major kernel layout)."""
+        from mila_tpu.inference.kv_cache import make_paged_pools
+
+        cfg: GPT2Config = self.config
+        HS = cfg.embedding_dim // cfg.num_heads
+        return make_paged_pools(cfg.num_layers, cfg.num_heads, HS,
+                                num_pages, page_size, dtype)
+
+    def forward_paged_prefill(self, params, tokens, pools, page_table, true_len):
+        """Batched prompt prefill into pages (see Llama.forward_paged_prefill)."""
+        cfg: GPT2Config = self.config
+        from mila_tpu.inference.kv_cache import paged_scatter
+        from mila_tpu.ops.attention import attention
+
+        B, T = tokens.shape
+        ps = pools["k"].shape[3]
+        pos_ids = jnp.arange(T)[None].repeat(B, 0)
+        x = jnp.take(params["encoder"]["wte"], tokens, axis=0)
+        wpe = params["encoder"].get("wpe")
+        if wpe is not None:
+            x = x + jnp.take(wpe, pos_ids, axis=0)
+        page_ids = jnp.take_along_axis(page_table, pos_ids // ps, axis=1)
+        offs = pos_ids % ps
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            q, k, v = self._qkv_step(blk, bp, x)
+            att = attention(q, k, v, causal=True, impl=cfg.attention_impl)
+            pools = paged_scatter(pools, i, page_ids, offs, k, v)
+            x = self._finish_block(blk, bp, x, att)
+        x = self.get("ln_f").apply(params["ln_f"], x)
+        last = jnp.take_along_axis(
+            x, jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32), axis=1
+        )
+        return self._logits(params, last)[:, 0], pools
+
+    def forward_paged_ragged(self, params, tokens, pools, page_table, positions):
+        """Single-token paged decode with per-row positions."""
+        cfg: GPT2Config = self.config
+        from mila_tpu.inference.kv_cache import paged_attention_read, paged_scatter
+
+        B = tokens.shape[0]
+        ps = pools["k"].shape[3]
+        x = jnp.take(params["encoder"]["wte"], tokens, axis=0)
+        wpe = params["encoder"].get("wpe")
+        if wpe is not None:
+            x = x + jnp.take(wpe, positions[:, None], axis=0)
+        rows = jnp.arange(B)
+        page_ids = page_table[rows, positions // ps]
+        offs = positions % ps
+        lens = (positions + 1).astype(jnp.int32)
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            q, k, v = self._qkv_step(blk, bp, x)
+            pools = paged_scatter(pools, i, page_ids, offs, k[:, 0], v[:, 0])
+            att = paged_attention_read(pools, i, q, page_table, lens)
+            x = self._finish_block(blk, bp, x, att)
+        x = self.get("ln_f").apply(params["ln_f"], x)
+        return self._logits(params, x), pools
+
     def forward_with_cache_ragged(self, params, tokens, cache, positions):
         """Single-token decode where each batch row sits at its own position.
 

@@ -225,16 +225,27 @@ def fuse_llama_projections(params: dict) -> dict:
     return out
 
 
-def add_quantized_lm_head(params: dict, dtype: str = "int8") -> dict:
+def add_quantized_lm_head(params: dict, dtype: str = "int8",
+                          pad_to: int = 2048) -> dict:
     """For tied-embedding models: add an int8/fp8 copy of wte^T used only by
     the output head (the embedding gather keeps the original precision).
     Costs one extra int8 copy of the vocab matrix in HBM; halves the head's
-    per-step weight stream."""
+    per-step weight stream.
+
+    The vocab axis is zero-padded to a multiple of ``pad_to``: 128256 is not
+    divisible by any large block_n, which silently shrinks the Pallas
+    dequant-matmul to 256-wide tiles (measured ~2x slower streaming). The
+    padded logits are sliced back to vocab_size in ``_logits``.
+    """
     from mila_tpu.inference.quantize import quantize
 
     out = dict(params)
-    wte = params["embed"]["wte"]
-    out["lm_head_q"] = quantize(jnp.asarray(wte).T, dtype)
+    wt = jnp.asarray(params["embed"]["wte"]).T  # [H, V]
+    V = wt.shape[1]
+    vpad = -(-V // pad_to) * pad_to
+    if vpad != V:
+        wt = jnp.pad(wt, ((0, 0), (0, vpad - V)))
+    out["lm_head_q"] = quantize(wt, dtype)
     return out
 
 
@@ -282,10 +293,11 @@ class Llama(CompositeModule):
         if "lm_head_q" in params:
             # Quantized head (add_quantized_lm_head): the tied-embedding
             # head matmul otherwise streams the full bf16 wte every step —
-            # the single largest weight read at decode.
+            # the single largest weight read at decode. Vocab axis may be
+            # block-padded; slice back.
             from mila_tpu.kernels.quant_matmul import quant_linear
 
-            return quant_linear(x, params["lm_head_q"])
+            return quant_linear(x, params["lm_head_q"])[..., : self.config.vocab_size]
         if self.config.tie_embeddings:
             return ops.linear(x, params["embed"]["wte"].T, None)
         return self.get("lm_head").apply(params["lm_head"], x)
@@ -330,6 +342,86 @@ class Llama(CompositeModule):
             )
         x = self.get("norm_f").apply(params["norm_f"], x)
         return self._logits(params, x), new_cache
+
+    # --- paged KV-cache path (engine default; BASELINE "paged BF16 KV") ---
+
+    def init_paged_cache(self, num_pages: int, page_size: int = 128,
+                         dtype=jnp.bfloat16) -> dict:
+        """Page pools [L, NKV, P, ps, HD] (head-major: one DMA per (head,
+        page) in :func:`mila_tpu.kernels.paged_attention.paged_decode_attention`)."""
+        from mila_tpu.inference.kv_cache import make_paged_pools
+
+        cfg: LlamaConfig = self.config
+        return make_paged_pools(cfg.num_layers, cfg.num_kv_heads, cfg.hd,
+                                num_pages, page_size, dtype)
+
+    def forward_paged_prefill(self, params, tokens, pools, page_table, true_len):
+        """Batched prompt prefill into pages.
+
+        tokens [B, T] (right-padded), page_table [B, W] physical page ids,
+        true_len [B] valid lengths. Fresh sequences only (start at pos 0):
+        attention is plain causal over the just-computed K/V; pages are
+        written for the whole bucket (trailing padding pages are trimmed by
+        the host allocator afterwards). Returns (last-token logits [B, V],
+        pools) — the hidden state is gathered at true_len-1 BEFORE the lm
+        head so the head matmul runs on one row per sequence, not T.
+        """
+        cfg: LlamaConfig = self.config
+        from mila_tpu.inference.kv_cache import paged_scatter
+        from mila_tpu.ops.attention import attention
+
+        B, T = tokens.shape
+        ps = pools["k"].shape[3]
+        x = jnp.take(params["embed"]["wte"], tokens, axis=0)
+        pos_ids = jnp.arange(T)[None].repeat(B, 0)
+        cos, sin = self._rope(pos_ids)
+        page_ids = jnp.take_along_axis(
+            page_table, pos_ids // ps, axis=1
+        )  # [B, T]
+        offs = pos_ids % ps
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            q, k, v = blk._qkv(bp, x)
+            q = ops.apply_rope(q, cos, sin)
+            k = ops.apply_rope(k, cos, sin)
+            att = attention(q, k, v, causal=True, impl=cfg.attention_impl)
+            pools = paged_scatter(pools, i, page_ids, offs, k, v)
+            x = blk._finish_attn(bp, x, att)
+        x = self.get("norm_f").apply(params["norm_f"], x)
+        last = jnp.take_along_axis(
+            x, jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32), axis=1
+        )
+        return self._logits(params, last)[:, 0], pools
+
+    def forward_paged_ragged(self, params, tokens, pools, page_table, positions):
+        """Single-token paged decode with per-row positions.
+
+        tokens [B,1]; positions [B] = tokens already stored per row. Writes
+        K/V through the page table, reads via the paged Pallas kernel.
+        """
+        cfg: LlamaConfig = self.config
+        from mila_tpu.inference.kv_cache import paged_attention_read, paged_scatter
+
+        B = tokens.shape[0]
+        ps = pools["k"].shape[3]
+        x = jnp.take(params["embed"]["wte"], tokens, axis=0)
+        cos, sin = self._rope(positions[:, None])
+        rows = jnp.arange(B)
+        page_ids = page_table[rows, positions // ps]  # [B]
+        offs = positions % ps
+        lens = (positions + 1).astype(jnp.int32)
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            q, k, v = blk._qkv(bp, x)
+            q = ops.apply_rope(q, cos, sin)
+            k = ops.apply_rope(k, cos, sin)
+            pools = paged_scatter(pools, i, page_ids, offs, k[:, 0], v[:, 0])
+            att = paged_attention_read(pools, i, q, page_table, lens)
+            x = blk._finish_attn(bp, x, att)
+        x = self.get("norm_f").apply(params["norm_f"], x)
+        return self._logits(params, x), pools
 
     def forward_with_cache_ragged(self, params, tokens, cache, positions):
         """Single-token decode with per-row positions (continuous batching)."""

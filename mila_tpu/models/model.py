@@ -51,6 +51,7 @@ class ModelConfig(BaseConfig):
     # grads sum before one optimizer step (the reference's beta=1 dW
     # accumulate semantics, CudaLinearOp.ixx:937-962, at training-loop level).
     grad_accum_steps: int = 1
+    prefetch_depth: int = 2  # async H2D batch prefetch (0 = synchronous)
 
     def validate(self):
         if self.epochs <= 0:
@@ -239,7 +240,14 @@ class Model:
             reader.reset(epoch)
             losses = []
             n_seen = 0
-            for inputs, targets in reader:
+            batches = reader
+            if cfg.prefetch_depth > 0:
+                # Background thread stages the next batches to the device
+                # while the current step computes (data/prefetch.py).
+                from mila_tpu.data.prefetch import PrefetchLoader
+
+                batches = PrefetchLoader(reader, depth=cfg.prefetch_depth)
+            for inputs, targets in batches:
                 self.params, self.opt_state, loss = self._train_step(
                     self.params, self.opt_state, jnp.asarray(inputs), jnp.asarray(targets)
                 )
