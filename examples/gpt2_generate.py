@@ -9,6 +9,7 @@ Usage:
   python examples/gpt2_generate.py --checkpoint gpt2_124M.bin \
       --tokenizer gpt2_tokenizer.bin --prompt-ids 464,3290 --tokens 64
   python examples/gpt2_generate.py --random-init --tokens 32 --quantize int8
+  python examples/gpt2_generate.py --random-init --tokens 32 --speculative-k 4
 """
 
 from __future__ import annotations
@@ -41,6 +42,10 @@ def main() -> int:
     ap.add_argument("--quantize", default="", choices=["", "int8", "fp8_e4m3"])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speculative-k", type=int, default=0,
+                    help="draft k tokens per round with a small draft model")
+    ap.add_argument("--draft-layers", type=int, default=1,
+                    help="layers of the (random-init) draft model")
     args = ap.parse_args()
 
     mila_tpu.initialize(seed=args.seed)
@@ -72,7 +77,18 @@ def main() -> int:
         )
 
     prompt = np.array([[int(t) for t in args.prompt_ids.split(",")]], np.int32)
-    gen = Generator(model, params, max_len=min(cfg.max_seq_len, prompt.shape[1] + args.tokens))
+    max_len = min(cfg.max_seq_len, prompt.shape[1] + args.tokens + args.speculative_k + 2)
+    if args.speculative_k > 0:
+        from mila_tpu.inference import SpeculativeGenerator
+
+        draft_cfg = cfg.replace(name=cfg.name + "-draft",
+                                num_layers=args.draft_layers)
+        draft = GPT2(draft_cfg)
+        draft_params = draft.init(jax.random.key(args.seed + 1), (1, 64))
+        gen = SpeculativeGenerator(model, params, draft, draft_params,
+                                   k=args.speculative_k, max_len=max_len)
+    else:
+        gen = Generator(model, params, max_len=max_len)
     t0 = time.monotonic()
     out = gen.generate(
         jnp.asarray(prompt), args.tokens, key=jax.random.key(args.seed),
@@ -82,6 +98,9 @@ def main() -> int:
     dt = time.monotonic() - t0
     ids = np.asarray(out[0])
     print(f"generated {args.tokens} tokens in {dt:.2f}s ({args.tokens / dt:.1f} tok/s, incl. compile)")
+    if args.speculative_k > 0:
+        print(f"speculative acceptance: {gen.acceptance_rate:.2%} "
+              f"over {gen.stats['rounds']} rounds")
     if args.tokenizer:
         tok = GPT2Tokenizer(args.tokenizer)
         print(tok.decode(ids))
