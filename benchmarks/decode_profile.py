@@ -54,8 +54,11 @@ def sweep_shape(M, K, N, configs=None):
     w = jax.random.normal(key, (K, N)) * 0.02
     qt = quantize(w, "int8")
     if configs is None:
+        # bn*bk int8 capped at 4MB (double-buffered 8MB < ~16MB VMEM/core).
         configs = [(512, 512), (512, 1024), (1024, 512), (1024, 1024),
-                   (2048, 512), (2048, 1024), (2048, 2048), (256, 512)]
+                   (2048, 512), (2048, 1024), (2048, 2048), (256, 512),
+                   (4096, 512), (4096, 1024), (8192, 512), (1024, 2048),
+                   (512, 2048), (512, 4096), (1024, 4096), (256, 8192)]
     results = {}
     t = robust_time(
         lambda x: jnp.matmul(

@@ -66,11 +66,13 @@ def _fa_kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)  # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        # MXU dots run at the INPUT dtype (bf16 ~4x the f32 rate on v5e);
+        # keep q/k native and accumulate f32 — only softmax math is f32.
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        )  # [bq, bk] f32
         if sm_scale != 1.0:
             s = s * sm_scale
 
@@ -92,9 +94,9 @@ def _fa_kernel(
         m_scr[...] = m_next
         l_scr[...] = l_next
 
-        v = v_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        v = v_ref[0, 0]  # [bk, d] native dtype
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(kv_idx == num_kv - 1)
@@ -207,30 +209,15 @@ def _fa_fwd(q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret):
 
 def _fa_bwd(causal, sm_scale, kv_offset, block_q, block_k, interpret, res, g):
     q, k, v, o, l, m = res
-    if kv_offset == 0:
-        # Dedicated Pallas backward kernels using the saved (l, m) stats.
-        from mila_tpu.kernels.flash_attention_bwd import flash_attention_bwd
+    # Dedicated Pallas backward kernels using the saved (l, m) stats;
+    # kv_offset (chunked prefill) shifts the causal mask inside the kernels.
+    from mila_tpu.kernels.flash_attention_bwd import flash_attention_bwd
 
-        return flash_attention_bwd(
-            q, k, v, o, l, m, g,
-            causal=causal, sm_scale=sm_scale,
-            block_q=block_q, block_k=block_k, interpret=interpret,
-        )
-
-    # kv_offset path (chunked prefill) falls back to autodiff through the
-    # jnp reference. Reference layout is [B, T, H, D].
-    def ref(q, k, v):
-        return _jnp_reference(
-            q.transpose(0, 2, 1, 3),
-            k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-            causal=causal,
-            scale=sm_scale,
-            kv_offset=kv_offset,
-        ).transpose(0, 2, 1, 3)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    return flash_attention_bwd(
+        q, k, v, o, l, m, g,
+        causal=causal, sm_scale=sm_scale, kv_offset=kv_offset,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
 
 
 _flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -45,6 +45,7 @@ def _dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    kv_offset: int,
 ):
     qi = pl.program_id(3)
     n_q = pl.num_programs(3)
@@ -57,23 +58,26 @@ def _dkv_kernel(
 
     run = True
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + kv_offset >= ki * block_k
 
     @pl.when(run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # Native-dtype MXU dots (bf16 inputs stay bf16); f32 accumulate.
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         l_row = l_ref[0, 0][:, 0]
         m_row = m_ref[0, 0][:, 0]
         di = di_ref[0, 0][:, 0]
         p = _recompute_p(
-            q, k, l_row, m_row, sm_scale, causal, qi * block_q, ki * block_k
+            q, k, l_row, m_row, sm_scale, causal,
+            qi * block_q + kv_offset, ki * block_k,
         )
         # dv += p^T @ do
         dv_acc[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -81,7 +85,8 @@ def _dkv_kernel(
         ds = p * (dp - di[:, None]) * sm_scale
         # dk += ds^T @ q
         dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(qi == n_q - 1)
@@ -95,6 +100,7 @@ def _dq_kernel(
     dq_ref,
     dq_acc,
     *, sm_scale: float, causal: bool, block_q: int, block_k: int,
+    kv_offset: int,
 ):
     ki = pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -106,23 +112,25 @@ def _dq_kernel(
 
     run = True
     if causal:
-        run = (qi + 1) * block_q - 1 >= ki * block_k
+        run = (qi + 1) * block_q - 1 + kv_offset >= ki * block_k
 
     @pl.when(run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         p = _recompute_p(
             q, k, l_ref[0, 0][:, 0], m_ref[0, 0][:, 0], sm_scale, causal,
-            qi * block_q, ki * block_k,
+            qi * block_q + kv_offset, ki * block_k,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - di_ref[0, 0][:, 0][:, None]) * sm_scale
-        dq_acc[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+        dq_acc[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
 
     @pl.when(ki == n_k - 1)
     def _store():
@@ -140,11 +148,16 @@ def flash_attention_bwd(
     *,
     causal: bool,
     sm_scale: float,
+    kv_offset: int = 0,
     block_q: int = 512,
     block_k: int = 512,
     interpret: Optional[bool] = None,
 ):
-    """Returns (dq, dk, dv) with dk/dv summed over GQA groups."""
+    """Returns (dq, dk, dv) with dk/dv summed over GQA groups.
+
+    ``kv_offset`` shifts query positions for chunked prefill (q rows are
+    global positions kv_offset..kv_offset+Tq-1 against the full KV span).
+    """
     B, NH, Tq, D = q.shape
     NKV, Tkv = k.shape[1], k.shape[2]
     group = NH // NKV
@@ -168,7 +181,8 @@ def flash_attention_bwd(
 
     dk, dv = pl.pallas_call(
         functools.partial(
-            _dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=bq, block_k=bk
+            _dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=bq,
+            block_k=bk, kv_offset=kv_offset,
         ),
         grid=(B, NH, Tkv // bk, Tq // bq),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec, row_spec],
@@ -192,7 +206,8 @@ def flash_attention_bwd(
 
     dq = pl.pallas_call(
         functools.partial(
-            _dq_kernel, sm_scale=sm_scale, causal=causal, block_q=bq, block_k=bk
+            _dq_kernel, sm_scale=sm_scale, causal=causal, block_q=bq,
+            block_k=bk, kv_offset=kv_offset,
         ),
         grid=(B, NH, Tq // bq, Tkv // bk),
         in_specs=[

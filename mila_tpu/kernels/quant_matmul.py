@@ -126,6 +126,35 @@ def _quant_matmul_2d(
     )(*args)
 
 
+# Profile-guided block table for HBM-bound decode shapes (M <= 32): best
+# (block_n, block_k) per (K, N), measured end-to-end (benchmarks/llama_bench).
+# Missing shapes fall through to the tile-size heuristic below.
+_DECODE_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {}
+
+# Weight-tile byte budget: ~4MB double-buffers to 8MB, comfortably inside the
+# ~16MB VMEM/core with the x/acc/out blocks.
+_DECODE_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int):
+    """Decode shapes (M <= 32) are pure weight-stream: pick the largest
+    (bn, bk) tile dividing (N, K) under the VMEM budget so the HBM DMAs are
+    few and large. Prefill/training shapes keep the caller's MXU-tuned blocks.
+    """
+    if M > 32:
+        return block_n, block_k
+    hit = _DECODE_BLOCKS.get((K, N))
+    if hit is not None:
+        return hit
+    bk = 2048
+    while K % bk:
+        bk //= 2
+    for bn in (4096, 3072, 2048, 1536, 1024, 512, 256):
+        if N % bn == 0 and bn * bk <= _DECODE_TILE_BYTES:
+            return bn, bk
+    return block_n, block_k
+
+
 def quant_linear(
     x: jax.Array,
     qt: QTensor,
@@ -149,6 +178,7 @@ def quant_linear(
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
+    block_n, block_k = _pick_blocks(M, K, N, block_n, block_k)
     bm = min(block_m, M)
     bn = min(block_n, N)
     bk = min(block_k, K)

@@ -88,6 +88,29 @@ class TestFlashAttentionKernel:
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
 
+    def test_grads_match_reference_kv_offset(self, rng_key):
+        """Chunked-prefill backward: Pallas kernels with shifted causal mask."""
+        offset = 128
+        q = jax.random.normal(rng_key, (1, 128, 2, 128))
+        k_all = jax.random.normal(jax.random.fold_in(rng_key, 1), (1, 256, 2, 128))
+        v_all = jax.random.normal(jax.random.fold_in(rng_key, 2), (1, 256, 2, 128))
+        ct = jax.random.normal(jax.random.fold_in(rng_key, 3), q.shape)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, causal=True, kv_offset=offset) * ct
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                dot_product_attention(q, k, v, causal=True, kv_offset=offset) * ct
+            )
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k_all, v_all)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k_all, v_all)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
     def test_fused_qkv_wrapper(self, rng_key):
         qkv = jax.random.normal(rng_key, (2, 256, 3 * 256))
         out = flash_mha_qkv(qkv, 2)
