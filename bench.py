@@ -20,8 +20,9 @@ import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
-# Persistent compile cache: remote TPU compiles are slow; make driver reruns fast.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+# Persistent compile cache: remote TPU compiles are slow; make driver reruns
+# fast. Lives in the repo (/tmp is wiped between rounds).
+import benchmarks  # noqa: F401  - sets JAX_COMPILATION_CACHE_DIR
 
 MNIST_REF_SAMPLES_PER_SEC = 136_000.0  # reference README.md:66
 

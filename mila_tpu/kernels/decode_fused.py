@@ -1,0 +1,367 @@
+"""Fused decode-shape kernels: RMSNorm/residual/SwiGLU folded into the
+weight-only dequant+matmul stream.
+
+At decode batch sizes the Llama step is a pure HBM weight stream
+(kernels/quant_matmul.py); everything *between* the matmuls — RMSNorm,
+residual adds, the SwiGLU gate — is tiny but each op is a separate device
+launch plus an HBM round-trip of the [B, H] activations. These kernels fold
+them into the matmul prologue/epilogue so a decoder layer runs as four
+weight-streaming Pallas calls:
+
+    rms_quant_linear(x, g_attn, wqkv)          # norm -> qkv projection
+    quant_linear_residual(att, wo, x)          # out proj + residual add
+    rms_quant_linear_swiglu(x, g_mlp, wgu)     # norm -> gate|up -> silu(g)*u
+    quant_linear_residual(h, down, x)          # down proj + residual add
+
+and the head as `rms_quant_linear(x, g_final, lm_head_q)`.
+
+Parity anchor: the reference fuses its Linear epilogue the same way via
+cuBLASLt CUBLASLT_EPILOGUE_BIAS plans (CudaLinearOp.ixx:147-225); here the
+epilogue set is what the Llama decode path needs (no-bias residual/swiglu).
+
+Inference-only (no VJPs): these run inside the jitted decode step, never
+under grad.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mila_tpu.inference.quantize import QTensor, quant_linear_ref
+from mila_tpu.kernels.quant_matmul import _DECODE_TILE_BYTES, _pick_blocks
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# Full-residency budget for the activation row block: [M, K] bf16 must sit in
+# VMEM next to the streaming weight tiles.
+_X_RESIDENT_BYTES = 1024 * 1024
+
+
+def _rstd(x32: jax.Array, eps: float) -> jax.Array:
+    return jax.lax.rsqrt(jnp.mean(jnp.square(x32), axis=-1, keepdims=True) + eps)
+
+
+# ---------------------------------------------------------------------------
+# rms_quant_linear: y = (rmsnorm(x) * gamma) @ dequant(W)
+# ---------------------------------------------------------------------------
+
+def _rms_qmm_kernel(
+    x_ref,  # [M, K] resident activations
+    g_ref,  # [1, K] f32 gamma
+    w_ref,  # [bk, bn]
+    s_ref,  # [1, bn] scale row
+    o_ref,  # [M, bn]
+    acc_ref,  # VMEM [M, bn] f32
+    *,
+    n_k: int,
+    block_k: int,
+    eps: float,
+):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    rstd = _rstd(x_ref[...].astype(jnp.float32), eps)  # [M, 1]
+    xt = x_ref[:, pl.ds(ki * block_k, block_k)].astype(jnp.float32)
+    gt = g_ref[0, pl.ds(ki * block_k, block_k)]
+    xs = xt * rstd * gt[None, :]
+    w = w_ref[...].astype(jnp.bfloat16)
+    partial = jax.lax.dot(
+        xs.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += partial * s_ref[0][None, :]
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def rms_quant_linear(
+    x: jax.Array,
+    gamma: jax.Array,
+    qt: QTensor,
+    *,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused rmsnorm(x, gamma) @ dequant(qt) for decode shapes (M <= 32)."""
+    K, N = qt.q.shape
+    orig_shape = x.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size)
+    while N % bn:
+        bn //= 2
+    while K % bk or qt.block_size % bk:
+        bk //= 2
+    ok = (
+        M <= 32
+        and bn >= 128
+        and bk >= 128
+        and M * K * 2 <= _X_RESIDENT_BYTES
+        and jnp.dtype(qt.q.dtype).itemsize == 1
+    )
+    if not ok:
+        from mila_tpu.ops.rmsnorm import rms_norm
+
+        out = quant_linear_ref(rms_norm(x2, gamma, eps), qt)
+        return out.reshape(*orig_shape[:-1], N)
+
+    n_k = K // bk
+    grid = (N // bn, n_k)
+    out = pl.pallas_call(
+        functools.partial(_rms_qmm_kernel, n_k=n_k, block_k=bk, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((1, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((bk, bn), lambda ni, ki: (ki, ni)),
+            pl.BlockSpec(
+                (1, bn),
+                lambda ni, ki, _bk=bk, _qb=qt.block_size: ((ki * _bk) // _qb, ni),
+            ),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda ni, ki: (0, ni)),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N * qt.q.dtype.itemsize + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )(x2, gamma.reshape(1, K).astype(jnp.float32), qt.q, qt.scale)
+    return out.reshape(*orig_shape[:-1], N)
+
+
+# ---------------------------------------------------------------------------
+# quant_linear_residual: y = x @ dequant(W) + res
+# ---------------------------------------------------------------------------
+
+def _qmm_res_kernel(
+    x_ref,  # [M, bk]
+    w_ref,  # [bk, bn]
+    s_ref,  # [1, bn]
+    r_ref,  # [M, bn] residual tile
+    o_ref,  # [M, bn]
+    acc_ref,
+    *,
+    n_k: int,
+):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(jnp.bfloat16)
+    partial = jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += partial * s_ref[0][None, :]
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        o_ref[...] = (acc_ref[...] + r_ref[...].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+def quant_linear_residual(
+    x: jax.Array,
+    qt: QTensor,
+    res: jax.Array,
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused x @ dequant(qt) + res for decode shapes (M <= 32)."""
+    K, N = qt.q.shape
+    orig_shape = res.shape
+    x2 = x.reshape(-1, K)
+    r2 = res.reshape(-1, N)
+    M = x2.shape[0]
+
+    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size)
+    while N % bn:
+        bn //= 2
+    while K % bk or qt.block_size % bk:
+        bk //= 2
+    ok = (
+        M <= 32
+        and bn >= 128
+        and bk >= 128
+        and jnp.dtype(qt.q.dtype).itemsize == 1
+    )
+    if not ok:
+        out = quant_linear_ref(x2, qt) + r2.astype(x2.dtype)
+        return out.reshape(orig_shape)
+
+    n_k = K // bk
+    grid = (N // bn, n_k)
+    out = pl.pallas_call(
+        functools.partial(_qmm_res_kernel, n_k=n_k),
+        out_shape=jax.ShapeDtypeStruct((M, N), res.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda ni, ki: (0, ki)),
+            pl.BlockSpec((bk, bn), lambda ni, ki: (ki, ni)),
+            pl.BlockSpec(
+                (1, bn),
+                lambda ni, ki, _bk=bk, _qb=qt.block_size: ((ki * _bk) // _qb, ni),
+            ),
+            pl.BlockSpec((M, bn), lambda ni, ki: (0, ni)),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda ni, ki: (0, ni)),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N * qt.q.dtype.itemsize + 2 * M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )(x2, qt.q, qt.scale, r2)
+    return out.reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# rms_quant_linear_swiglu: h = silu(xn @ Wg) * (xn @ Wu), xn = rmsnorm(x)
+# with W = [Wg | Wu] concatenated on the out axis (fuse_llama_projections).
+# ---------------------------------------------------------------------------
+
+def _rms_qmm_swiglu_kernel(
+    x_ref,  # [M, K] resident
+    g_ref,  # [1, K] gamma
+    wg_ref,  # [bk, bn] gate tile
+    wu_ref,  # [bk, bn] up tile
+    sg_ref,  # [1, bn]
+    su_ref,  # [1, bn]
+    o_ref,  # [M, bn]
+    accg_ref,
+    accu_ref,
+    *,
+    n_k: int,
+    block_k: int,
+    eps: float,
+):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        accg_ref[...] = jnp.zeros_like(accg_ref)
+        accu_ref[...] = jnp.zeros_like(accu_ref)
+
+    rstd = _rstd(x_ref[...].astype(jnp.float32), eps)  # [M, 1]
+    xt = x_ref[:, pl.ds(ki * block_k, block_k)].astype(jnp.float32)
+    gt = g_ref[0, pl.ds(ki * block_k, block_k)]
+    xb = (xt * rstd * gt[None, :]).astype(jnp.bfloat16)
+    pg = jax.lax.dot(xb, wg_ref[...].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    pu = jax.lax.dot(xb, wu_ref[...].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    accg_ref[...] += pg * sg_ref[0][None, :]
+    accu_ref[...] += pu * su_ref[0][None, :]
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        g = accg_ref[...]
+        o_ref[...] = (g * jax.nn.sigmoid(g) * accu_ref[...]).astype(o_ref.dtype)
+
+
+def rms_quant_linear_swiglu(
+    x: jax.Array,
+    gamma: jax.Array,
+    qt: QTensor,
+    *,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused ln_mlp -> [gate|up] projection -> SwiGLU for decode shapes.
+
+    ``qt`` holds the fused [K, 2I] gate|up weight; returns [..., I].
+    """
+    K, N2 = qt.q.shape
+    I = N2 // 2
+    orig_shape = x.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    # Two weight tiles stream per grid step: halve the byte budget per tile.
+    bn, bk = _pick_blocks(M, K, I, 1024, 512, qt.block_size)
+    while I % bn or bn * bk > _DECODE_TILE_BYTES // 2:
+        bn //= 2
+    while K % bk or qt.block_size % bk:
+        bk //= 2
+    ok = (
+        M <= 32
+        and N2 % 2 == 0
+        and bn >= 128
+        and bk >= 128
+        and M * K * 2 <= _X_RESIDENT_BYTES
+        and jnp.dtype(qt.q.dtype).itemsize == 1
+    )
+    if not ok:
+        from mila_tpu.ops.rmsnorm import rms_norm
+        from mila_tpu.ops.swiglu import swiglu
+
+        gu = quant_linear_ref(rms_norm(x2, gamma, eps), qt)
+        g, u = jnp.split(gu, 2, axis=-1)
+        return swiglu(g, u).reshape(*orig_shape[:-1], I)
+
+    n_k = K // bk
+    n_i = I // bn
+    grid = (n_i, n_k)
+    out = pl.pallas_call(
+        functools.partial(_rms_qmm_swiglu_kernel, n_k=n_k, block_k=bk, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((M, I), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((1, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((bk, bn), lambda ni, ki: (ki, ni)),
+            pl.BlockSpec((bk, bn), lambda ni, ki, _ni=n_i: (ki, ni + _ni)),
+            pl.BlockSpec(
+                (1, bn),
+                lambda ni, ki, _bk=bk, _qb=qt.block_size: ((ki * _bk) // _qb, ni),
+            ),
+            pl.BlockSpec(
+                (1, bn),
+                lambda ni, ki, _bk=bk, _qb=qt.block_size, _ni=n_i: (
+                    (ki * _bk) // _qb,
+                    ni + _ni,
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda ni, ki: (0, ni)),
+        scratch_shapes=[
+            pltpu.VMEM((M, bn), jnp.float32),
+            pltpu.VMEM((M, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N2 * K,
+            bytes_accessed=M * K * 2 + K * N2 * qt.q.dtype.itemsize + M * I * 2,
+            transcendentals=M * I,
+        ),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )(x2, gamma.reshape(1, K).astype(jnp.float32), qt.q, qt.q, qt.scale, qt.scale)
+    return out.reshape(*orig_shape[:-1], I)

@@ -8,8 +8,10 @@ scratch across KV tiles (the flash-attention construction; see the TPU
 attention guide). GQA maps query-head groups onto shared KV heads inside the
 BlockSpec index maps — zero extra copies.
 
-Backward: custom_vjp recomputes through the jnp reference (correct, memory-
-light); a dedicated Pallas backward kernel is a planned upgrade.
+Backward: custom_vjp dispatches to the Pallas backward kernels in
+:mod:`mila_tpu.kernels.flash_attention_bwd` (separate dKV and dQ kernels
+driven by the saved l/m residuals; the kv_offset-shifted causal mask used by
+chunked prefill is honored in both).
 """
 
 from __future__ import annotations

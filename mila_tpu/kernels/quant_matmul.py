@@ -127,7 +127,8 @@ def _quant_matmul_2d(
 
 
 # Profile-guided block table for HBM-bound decode shapes (M <= 32): best
-# (block_n, block_k) per (K, N), measured end-to-end (benchmarks/llama_bench).
+# (block_n, block_k) per (K, N), measured on the v5e chip with
+# `python benchmarks/decode_profile.py --what sweep` (weight-stream GB/s).
 # Missing shapes fall through to the tile-size heuristic below.
 _DECODE_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {}
 
@@ -136,19 +137,25 @@ _DECODE_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {}
 _DECODE_TILE_BYTES = 4 * 1024 * 1024
 
 
-def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int):
+def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int,
+                 qblock: int):
     """Decode shapes (M <= 32) are pure weight-stream: pick the largest
     (bn, bk) tile dividing (N, K) under the VMEM budget so the HBM DMAs are
     few and large. Prefill/training shapes keep the caller's MXU-tuned blocks.
+
+    ``qblock`` (the quantization block size) caps bk: every K tile must see a
+    single scale row, so bk must divide qblock as well as K.
     """
     if M > 32:
         return block_n, block_k
     hit = _DECODE_BLOCKS.get((K, N))
-    if hit is not None:
+    if hit is not None and hit[1] <= qblock and qblock % hit[1] == 0:
         return hit
-    bk = 2048
-    while K % bk:
+    bk = min(2048, qblock)
+    while bk >= 128 and (K % bk or qblock % bk):
         bk //= 2
+    if bk < 128:
+        return block_n, block_k
     for bn in (4096, 3072, 2048, 1536, 1024, 512, 256):
         if N % bn == 0 and bn * bk <= _DECODE_TILE_BYTES:
             return bn, bk
@@ -162,10 +169,11 @@ def quant_linear(
     *,
     activation: Optional[str] = None,
     # Defaults from the v5e block sweep (benchmarks/kernel_bench.py):
-    # (256, 1024, 512) ⇒ 246 TFLOP/s, 1.7x XLA dequant matmul.
+    # (256, 1024, 512) ⇒ 246 TFLOP/s, 1.7x XLA dequant matmul. Passing
+    # explicit block_n/block_k disables the decode-shape auto-pick.
     block_m: int = 256,
-    block_n: int = 1024,
-    block_k: int = 512,
+    block_n: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Weight-only quantized linear: x [..., K] @ dequant(qt) [K, N] (+bias).
@@ -178,7 +186,12 @@ def quant_linear(
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
-    block_n, block_k = _pick_blocks(M, K, N, block_n, block_k)
+    explicit = block_n is not None or block_k is not None
+    block_n = 1024 if block_n is None else block_n
+    block_k = 512 if block_k is None else block_k
+    if not explicit:
+        block_n, block_k = _pick_blocks(M, K, N, block_n, block_k,
+                                        qt.block_size)
     bm = min(block_m, M)
     bn = min(block_n, N)
     bk = min(block_k, K)

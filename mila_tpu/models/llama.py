@@ -128,19 +128,41 @@ class LlamaBlock(CompositeModule):
             out[name] = child.init(ks[name], shape)
         return out
 
+    def _fused_decode(self, params, x) -> bool:
+        """True when the whole-layer fused decode kernels apply: quantized
+        fused projections at decode batch sizes (kernels/decode_fused.py —
+        RMSNorm/residual/SwiGLU fold into the weight-stream matmuls)."""
+        B, T = x.shape[:2]
+        return (
+            B * T <= 32
+            and "wqkv" in params
+            and "wgu" in params
+            and type(params["wqkv"]["weight"]).__name__ == "QTensor"
+            and type(params["wgu"]["weight"]).__name__ == "QTensor"
+        )
+
     def _qkv(self, params, x):
         cfg = self.cfg
         B, T, _ = x.shape
         NQ = cfg.num_heads * cfg.hd
         NKVD = cfg.num_kv_heads * cfg.hd
-        h = self.get("ln_attn").apply(params["ln_attn"], x)
-        if "wqkv" in params:
+        if self._fused_decode(params, x):
+            from mila_tpu.kernels.decode_fused import rms_quant_linear
+
+            qkv = rms_quant_linear(
+                x, params["ln_attn"]["gamma"], params["wqkv"]["weight"],
+                eps=cfg.rms_eps,
+            )
+            q, k, v = jnp.split(qkv, [NQ, NQ + NKVD], axis=-1)
+        elif "wqkv" in params:
             # Fused projection (fuse_llama_projections): one weight stream
             # instead of three — fewer kernel launches, better HBM use at
             # decode batch sizes.
+            h = self.get("ln_attn").apply(params["ln_attn"], x)
             qkv = self.get("wq").apply(params["wqkv"], h)
             q, k, v = jnp.split(qkv, [NQ, NQ + NKVD], axis=-1)
         else:
+            h = self.get("ln_attn").apply(params["ln_attn"], x)
             q = self.get("wq").apply(params["wq"], h)
             k = self.get("wk").apply(params["wk"], h)
             v = self.get("wv").apply(params["wv"], h)
@@ -152,6 +174,24 @@ class LlamaBlock(CompositeModule):
 
     def _finish_attn(self, params, x, att):
         B, T = att.shape[:2]
+        if self._fused_decode(params, x):
+            from mila_tpu.kernels.decode_fused import (
+                quant_linear_residual,
+                rms_quant_linear_swiglu,
+            )
+
+            wo_q = params["wo"]["weight"]
+            down_q = params["down"]["weight"]
+            if (
+                type(wo_q).__name__ == "QTensor"
+                and type(down_q).__name__ == "QTensor"
+            ):
+                x = quant_linear_residual(att.reshape(B, T, -1), wo_q, x)
+                h = rms_quant_linear_swiglu(
+                    x, params["ln_mlp"]["gamma"], params["wgu"]["weight"],
+                    eps=self.cfg.rms_eps,
+                )
+                return quant_linear_residual(h, down_q, x)
         h = self.get("wo").apply(params["wo"], att.reshape(B, T, -1))
         x = ops.residual(h, x)
         h = self.get("ln_mlp").apply(params["ln_mlp"], x)
@@ -302,6 +342,21 @@ class Llama(CompositeModule):
             return ops.linear(x, params["embed"]["wte"].T, None)
         return self.get("lm_head").apply(params["lm_head"], x)
 
+    def _norm_logits(self, params, x):
+        """norm_f + lm head; fuses the final RMSNorm into the quantized head
+        stream at decode shapes (kernels/decode_fused.py)."""
+        B, T = x.shape[:2]
+        if "lm_head_q" in params and B * T <= 32:
+            from mila_tpu.kernels.decode_fused import rms_quant_linear
+
+            logits = rms_quant_linear(
+                x, params["norm_f"]["gamma"], params["lm_head_q"],
+                eps=self.config.rms_eps,
+            )
+            return logits[..., : self.config.vocab_size]
+        x = self.get("norm_f").apply(params["norm_f"], x)
+        return self._logits(params, x)
+
     def apply(self, params, tokens, *, training=False, rngs=None):
         cfg: LlamaConfig = self.config
         B, T = tokens.shape
@@ -340,8 +395,7 @@ class Llama(CompositeModule):
             x, new_cache[f"h{i}"] = self.get(f"h{i}").apply_with_cache(
                 params[f"h{i}"], x, cache[f"h{i}"], pos, cos, sin
             )
-        x = self.get("norm_f").apply(params["norm_f"], x)
-        return self._logits(params, x), new_cache
+        return self._norm_logits(params, x), new_cache
 
     # --- paged KV-cache path (engine default; BASELINE "paged BF16 KV") ---
 
@@ -388,11 +442,12 @@ class Llama(CompositeModule):
             att = attention(q, k, v, causal=True, impl=cfg.attention_impl)
             pools = paged_scatter(pools, i, page_ids, offs, k, v)
             x = blk._finish_attn(bp, x, att)
-        x = self.get("norm_f").apply(params["norm_f"], x)
+        # Gather the last valid token BEFORE norm_f (rowwise norm commutes
+        # with the gather) so both the norm and the head run on B rows, not T.
         last = jnp.take_along_axis(
             x, jnp.maximum(true_len - 1, 0)[:, None, None].astype(jnp.int32), axis=1
         )
-        return self._logits(params, last)[:, 0], pools
+        return self._norm_logits(params, last)[:, 0], pools
 
     def forward_paged_ragged(self, params, tokens, pools, page_table, positions):
         """Single-token paged decode with per-row positions.
@@ -420,8 +475,7 @@ class Llama(CompositeModule):
             pools = paged_scatter(pools, i, page_ids, offs, k[:, 0], v[:, 0])
             att = paged_attention_read(pools, i, q, page_table, lens)
             x = blk._finish_attn(bp, x, att)
-        x = self.get("norm_f").apply(params["norm_f"], x)
-        return self._logits(params, x), pools
+        return self._norm_logits(params, x), pools
 
     def forward_with_cache_ragged(self, params, tokens, cache, positions):
         """Single-token decode with per-row positions (continuous batching)."""
@@ -449,5 +503,4 @@ class Llama(CompositeModule):
             )
             x = blk._finish_attn(bp, x, att)
             new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
-        x = self.get("norm_f").apply(params["norm_f"], x)
-        return self._logits(params, x), new_cache
+        return self._norm_logits(params, x), new_cache

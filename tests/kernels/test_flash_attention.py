@@ -111,6 +111,37 @@ class TestFlashAttentionKernel:
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.parametrize("offset", [0, 128])
+    def test_grads_bf16(self, rng_key, offset):
+        """bf16 backward parity: the Pallas bwd kernels run QK^T/PV and ds/p
+        dots on native-dtype inputs (standard flash practice), so bf16 is a
+        distinct numeric path from the f32 tests above."""
+        Tq, Tkv = 128, 128 + offset
+        q = jax.random.normal(rng_key, (1, Tq, 2, 128)).astype(jnp.bfloat16)
+        k = jax.random.normal(
+            jax.random.fold_in(rng_key, 1), (1, Tkv, 2, 128)
+        ).astype(jnp.bfloat16)
+        v = jax.random.normal(
+            jax.random.fold_in(rng_key, 2), (1, Tkv, 2, 128)
+        ).astype(jnp.bfloat16)
+        ct = jax.random.normal(jax.random.fold_in(rng_key, 3), q.shape)
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, causal=True, kv_offset=offset)
+            return jnp.sum(out.astype(jnp.float32) * ct)
+
+        def loss_ref(q, k, v):
+            out = dot_product_attention(q, k, v, causal=True, kv_offset=offset)
+            return jnp.sum(out.astype(jnp.float32) * ct)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                a.astype(jnp.float32), b.astype(jnp.float32),
+                rtol=2e-2, atol=2e-2,
+            )
+
     def test_fused_qkv_wrapper(self, rng_key):
         qkv = jax.random.normal(rng_key, (2, 256, 3 * 256))
         out = flash_mha_qkv(qkv, 2)
