@@ -40,18 +40,27 @@ DECODE_SHAPES = {
     "lm_head": (2048, 129024),
 }
 
-# Candidate (bn, bk); bn*bk int8 <= 4MB (double-buffers to 8MB in VMEM).
+# Candidate (bn, bk); bn*bk int8 <= ~6MB (double-buffers in ~16MB VMEM).
 CONFIGS = {
-    "wqkv": [(1024, 2048), (1536, 2048), (3072, 1024), (3072, 512)],
-    "wo": [(2048, 2048), (1024, 2048), (2048, 1024), (512, 2048)],
-    "wgu": [(2048, 2048), (4096, 1024), (2048, 1024), (8192, 512)],
-    "down": [(2048, 2048), (1024, 2048), (512, 8192), (1024, 4096)],
-    "lm_head": [(2048, 2048), (1024, 2048), (3072, 1024), (2688, 1024)],
+    "wqkv": [(1024, 2048), (1536, 2048), (3072, 1024), (3072, 2048),
+             (768, 2048), (512, 2048)],
+    "wo": [(2048, 2048), (1024, 2048), (2048, 1024), (512, 2048),
+           (1024, 1024)],
+    "wgu": [(2048, 2048), (4096, 1024), (1024, 2048), (8192, 512),
+            (512, 2048), (2048, 1024)],
+    "down": [(2048, 2048), (1024, 2048), (512, 8192), (1024, 4096),
+             (256, 8192), (2048, 4096)],
+    "lm_head": [(2048, 2048), (1024, 2048), (3072, 2048), (512, 2048),
+                (1536, 2048), (1024, 1024)],
 }
 
 
-def timed_loop(fn, x, *rest, n1=32, n2=160, reps=3):
-    """Per-call time via dynamic-trip-count fori_loop delta (ONE compile)."""
+def timed_loop(fn, x, *rest, reps=3, target_delta=0.06, max_n=65536):
+    """Per-call time via dynamic-trip-count fori_loop delta (ONE compile).
+
+    The tunneled chip has ~30 ms host-fetch jitter, so the iteration count
+    auto-scales until the timed delta is >= ``target_delta`` seconds.
+    """
 
     @jax.jit
     def chain(n, x, *rest):
@@ -72,8 +81,15 @@ def timed_loop(fn, x, *rest, n1=32, n2=160, reps=3):
             b = min(b, time.perf_counter() - t0)
         return b
 
-    t1, t2 = best(n1), best(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    n0 = 64
+    t0 = best(n0)
+    n = 512
+    while True:
+        tn = best(n)
+        if tn - t0 >= target_delta or n >= max_n:
+            break
+        n *= 4
+    return max((tn - t0) / (n - n0), 1e-9)
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +128,7 @@ def hbm_read_bw(nbytes=512 * 1024 * 1024, block_rows=512, width=2048):
             ),
         )(x, w)
 
-    t = timed_loop(run, jnp.zeros((1, width), jnp.float32), w, n1=4, n2=16)
+    t = timed_loop(run, jnp.zeros((1, width), jnp.float32), w, max_n=256)
     return nbytes / t
 
 
@@ -150,11 +166,61 @@ def sweep_shape(name, M, K, N, configs, peak_gbs):
     return out
 
 
+def bench_fused(M, peak_gbs):
+    """The whole-layer fused kernels (kernels/decode_fused.py) at the Llama
+    1B decode shapes — what the model step actually calls."""
+    from mila_tpu.inference.quantize import quantize
+    from mila_tpu.kernels.decode_fused import (
+        quant_linear_residual,
+        rms_quant_linear,
+        rms_quant_linear_swiglu,
+    )
+
+    key = jax.random.key(0)
+
+    def data(K, N):
+        x = jax.random.normal(key, (M, K), jnp.bfloat16)
+        w = jax.random.normal(key, (K, N)) * 0.02
+        g = jnp.ones((K,), jnp.float32)
+        return x, quantize(w, "int8"), g
+
+    print(f"\n== fused decode kernels (M={M}) ==", flush=True)
+    rows = []
+    x, qt, g = data(2048, 3072)
+    rows.append(("rms+wqkv", 2048 * 3072,
+                 timed_loop(lambda x: rms_quant_linear(x, g, qt), x)))
+    x, qt, g = data(2048, 2048)
+    res = jax.random.normal(key, (M, 2048), jnp.bfloat16)
+    rows.append(("wo+res", 2048 * 2048,
+                 timed_loop(lambda x: quant_linear_residual(x, qt, res), x)))
+    x, qt, g = data(2048, 16384)
+    rows.append(("rms+wgu+swiglu", 2048 * 16384,
+                 timed_loop(lambda x: rms_quant_linear_swiglu(x, g, qt), x)))
+    x, qt, g = data(8192, 2048)
+    res2 = jax.random.normal(key, (M, 2048), jnp.bfloat16)
+    rows.append(("down+res", 8192 * 2048,
+                 timed_loop(lambda x: quant_linear_residual(x, qt, res2), x)))
+    x, qt, g = data(2048, 129024)
+    rows.append(("rms+lm_head", 2048 * 129024,
+                 timed_loop(lambda x: rms_quant_linear(x, g, qt), x)))
+    total = 0.0
+    for name, wb, t in rows:
+        gbs = wb / t / 1e9
+        total += t
+        print(f"  {name:16s} {t*1e6:8.1f} us  {gbs:6.0f} GB/s "
+              f"({gbs/peak_gbs*100:4.1f}% peak)", flush=True)
+    head_t = rows[-1][2]
+    step = 16 * (total - head_t) + head_t
+    print(f"  matmul-only step estimate (16 layers + head): {step*1e3:.3f} ms",
+          flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--shapes", default=",".join(DECODE_SHAPES))
     ap.add_argument("--skip-bw", action="store_true")
+    ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
     print("devices:", jax.devices(), file=sys.stderr)
 
@@ -179,6 +245,9 @@ def main():
         )
         print(f"\nXLA bf16 matmul wgu: {t*1e6:.1f} us  "
               f"{K*N*2/t/1e9:.0f} GB/s wstream", flush=True)
+
+    if args.fused:
+        bench_fused(args.batch, peak / 1e9)
 
     best = {}
     for name in args.shapes.split(","):

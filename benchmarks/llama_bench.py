@@ -48,24 +48,77 @@ def build_model(scale: str, dtype: str):
     return model, params, cfg
 
 
-def scan_decode_fn(model, steps: int):
-    """Returns jitted fn running `steps` greedy decode iterations via scan."""
+def scan_decode_fn(model):
+    """Jitted greedy-decode loop with a *traced* step count: one compile
+    serves both timing lengths (remote compiles dominate bench wall time)."""
 
-    def run(params, first_token, cache, start_pos):
-        def body(carry, _):
-            token, cache, pos = carry
+    def run(params, first_token, cache, start_pos, steps):
+        def body(_, carry):
+            token, cache, pos, acc = carry
             logits, cache = model.forward_with_cache(params, token, cache, pos)
             nxt = jnp.argmax(
                 logits[:, -1, : model.config.vocab_size], axis=-1
             ).astype(jnp.int32)[:, None]
-            return (nxt, cache, pos + 1), nxt[:, 0]
+            return (nxt, cache, pos + 1, acc + nxt[:, 0].sum())
 
-        (tok, cache, _), toks = jax.lax.scan(
-            body, (first_token, cache, start_pos), None, length=steps
+        tok, cache, _, acc = jax.lax.fori_loop(
+            0, steps, body, (first_token, cache, start_pos, jnp.int32(0))
         )
-        return toks.sum()  # scalar fetch forces completion
+        return acc  # scalar fetch forces completion
 
     return jax.jit(run)
+
+
+# v5e public spec peaks.
+PEAK_HBM_GBS = 819.0
+PEAK_BF16_TFLOPS = 197.0
+
+
+def qtensor_stream_bytes(leaf) -> int:
+    q = leaf.q
+    nb = q.size // 2 if jnp.dtype(q.dtype) == jnp.dtype("int4") else q.nbytes
+    return nb + leaf.scale.nbytes
+
+
+def decode_step_bytes(params, cfg, batch: int, cache_len: int,
+                      kv_bytes_per_el: int = 2) -> dict:
+    """Mandatory HBM traffic of one decode step: streamed weight bytes +
+    KV-cache read bytes (the roofline denominator for bench.py)."""
+    weight = 0
+    has_qhead = type(params.get("lm_head_q")).__name__ == "QTensor"
+    for name, sub in params.items():
+        if name == "embed":
+            if not has_qhead and "lm_head" not in params:
+                # tied head streams the bf16 wte matrix every step
+                weight += sub["wte"].nbytes
+            continue
+        for leaf in jax.tree_util.tree_leaves(
+            sub, is_leaf=lambda x: type(x).__name__ == "QTensor"
+        ):
+            if type(leaf).__name__ == "QTensor":
+                weight += qtensor_stream_bytes(leaf)
+            elif hasattr(leaf, "ndim") and leaf.ndim == 2:
+                weight += leaf.nbytes
+            # 1-D gammas/biases are noise at these scales
+    nkv = getattr(cfg, "num_kv_heads", getattr(cfg, "num_heads", 1))
+    H = getattr(cfg, "hidden_size", getattr(cfg, "embedding_dim", 0))
+    hd = cfg.hd if hasattr(cfg, "hd") else H // cfg.num_heads
+    n_layers = getattr(cfg, "num_layers", 0)
+    kv = 2 * batch * cache_len * nkv * hd * kv_bytes_per_el * n_layers
+    return {"weight_bytes": int(weight), "kv_read_bytes": int(kv)}
+
+
+def decode_flops(cfg, batch: int, cache_len: int) -> float:
+    H = getattr(cfg, "hidden_size", getattr(cfg, "embedding_dim", 0))
+    I = getattr(cfg, "intermediate_size", getattr(cfg, "mlp_ratio", 4) * H)
+    nh = cfg.num_heads
+    nkv = getattr(cfg, "num_kv_heads", nh)
+    hd = cfg.hd if hasattr(cfg, "hd") else H // nh
+    n_mlp = 3 if hasattr(cfg, "intermediate_size") else 2  # swiglu vs gelu MLP
+    per_layer = 2 * (H * (nh + 2 * nkv) * hd + nh * hd * H + n_mlp * H * I)
+    attn = 4 * nh * hd * cache_len  # qk + av per token
+    head = 2 * H * cfg.vocab_size
+    return batch * (cfg.num_layers * (per_layer + attn) + head)
 
 
 def bench_decode(model, params, cfg, batch: int, prompt_len: int = 128,
@@ -86,31 +139,40 @@ def bench_decode(model, params, cfg, batch: int, prompt_len: int = 128,
         ttfts.append(time.perf_counter() - t0)
     ttft = sorted(ttfts)[1]
 
-    # Decode: delta timing between n and 2n scan steps.
+    # Decode: delta timing between n and 2n loop steps (one compile).
     _, cache2 = jax.jit(
         lambda p, t, c: model.forward_with_cache(p, t, c, 0)
     )(params, prompt, cache)
     token = jnp.zeros((batch, 1), jnp.int32)
-    f1 = scan_decode_fn(model, decode_steps)
-    f2 = scan_decode_fn(model, decode_steps * 2)
-    float(f1(params, token, cache2, prompt_len))
-    float(f2(params, token, cache2, prompt_len))
+    f = scan_decode_fn(model)
+    float(f(params, token, cache2, prompt_len, jnp.int32(2)))  # compile
 
-    def best(f, reps=3):
+    def best(steps, reps=3):
         b = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(params, token, cache2, prompt_len))
+            float(f(params, token, cache2, prompt_len, jnp.int32(steps)))
             b = min(b, time.perf_counter() - t0)
         return b
 
-    t1, t2 = best(f1), best(f2)
+    best(decode_steps)  # warm
+    t1, t2 = best(decode_steps), best(decode_steps * 2)
     per_tok = max((t2 - t1) / decode_steps, 1e-9)
+
+    # Self-grading: fraction of the HBM roofline this decode step achieves.
+    by = decode_step_bytes(params, cfg, batch, cache_len)
+    mand = by["weight_bytes"] + by["kv_read_bytes"]
+    t_roof = mand / (PEAK_HBM_GBS * 1e9)
+    mfu = decode_flops(cfg, batch, cache_len) / per_tok / (PEAK_BF16_TFLOPS * 1e12)
     return {
         "ttft_p50_ms": round(ttft * 1e3, 2),
         "decode_tok_s_per_seq": round(1.0 / per_tok, 1),
         "decode_tok_s_total": round(batch / per_tok, 1),
         "per_token_ms": round(per_tok * 1e3, 3),
+        "roofline_frac": round(t_roof / per_tok, 3),
+        "roofline_ms": round(t_roof * 1e3, 3),
+        "hbm_gbs": round(mand / per_tok / 1e9, 1),
+        "mfu": round(mfu, 4),
     }
 
 

@@ -103,6 +103,7 @@ class InferenceEngine:
             num_pages = c.num_pages or (c.max_batch * width + 1)
             self.pools = model.init_paged_cache(num_pages, ps, dt)
             self.alloc = PageAllocator(num_pages, ps, c.max_batch, c.max_len)
+            self.num_pages_total = num_pages
             self.cache = None
         else:
             self.cache = model.init_kv_cache(c.max_batch, c.max_len, dt)
@@ -142,6 +143,13 @@ class InferenceEngine:
         margin = max(self.config.decode_chunk, 1)
         if len(req.prompt) + max_new_tokens + margin > self.config.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
+        if self.kv_layout == "paged":
+            worst = self.alloc.pages_for(self._worst_len(req))
+            if worst > self.num_pages_total - 1:
+                raise ValueError(
+                    f"request needs {worst} KV pages; pool has "
+                    f"{self.num_pages_total - 1}"
+                )
         self._queue.append(req)
         # Priority order, FIFO within a level (stable sort by (priority, id)).
         self._queue.sort(key=lambda r: (r.priority, r.id))
@@ -283,16 +291,42 @@ class InferenceEngine:
             if req is not None and req.cancelled:
                 self._retire(req, finished)
 
+    def _worst_len(self, req: Request) -> int:
+        """Worst-case token count a request can ever occupy: the prefill
+        bucket (pages are written for the whole bucket before trim) or the
+        final length including decode-chunk overshoot, whichever is larger."""
+        bucket = self._bucket_for(len(req.prompt))
+        final = len(req.prompt) + req.max_new_tokens + max(self.config.decode_chunk, 1)
+        return max(bucket, min(final, self.config.max_len))
+
     def _admit(self, finished: list[Request]) -> None:
-        """Fill free slots from the queue and prefill them."""
+        """Fill free slots from the queue and prefill them.
+
+        Paged layout: admission is gated on a worst-case page reservation so
+        the pool can NEVER exhaust mid-prefill or mid-decode — requests that
+        don't fit stay queued (in priority order) until retirements free
+        pages. State is untouched for skipped requests.
+        """
         c = self.config
         admitted: list[Request] = []
+        skipped: list[Request] = []
         while self._queue and any(s is None for s in self._slots):
             req = self._queue.pop(0)
+            if self.kv_layout == "paged" and not self.alloc.can_admit(
+                self._worst_len(req)
+            ):
+                skipped.append(req)
+                continue
             slot = next(i for i, s in enumerate(self._slots) if s is None)
             req.slot = slot
             self._slots[slot] = req
+            if self.kv_layout == "paged":
+                self.alloc.reserve(slot, self._worst_len(req))
             admitted.append(req)
+        if skipped:
+            self._queue = sorted(
+                skipped + self._queue, key=lambda r: (r.priority, r.id)
+            )
         if not admitted:
             return
         if self.kv_layout == "paged":

@@ -142,13 +142,40 @@ class PageAllocator:
         self._free = list(range(num_pages - 1, 0, -1))  # page 0 reserved
         self.table = np.zeros((max_slots, self.table_width), np.int32)
         self._used = np.zeros((max_slots,), np.int32)
+        # Worst-case reservations (admission gating): pages promised to a
+        # slot for its whole lifetime. ensure() may only fail if a caller
+        # bypassed reserve() — the engine never does.
+        self._reserved = np.zeros((max_slots,), np.int32)
 
     @property
     def free_pages(self) -> int:
         return len(self._free)
 
+    @property
+    def available_pages(self) -> int:
+        """Free pages not promised to an active slot's future growth."""
+        pending = int(np.maximum(self._reserved - self._used, 0).sum())
+        return len(self._free) - pending
+
     def pages_for(self, length: int) -> int:
         return -(-length // self.page_size)
+
+    def can_admit(self, worst_len: int) -> bool:
+        """True if a new sequence with worst-case length ``worst_len`` can be
+        admitted without any possibility of mid-flight pool exhaustion."""
+        need = self.pages_for(worst_len)
+        return need <= self.table_width and need <= self.available_pages
+
+    def reserve(self, slot: int, worst_len: int) -> None:
+        """Promise the slot pages for its worst-case length. Raises without
+        touching any state if the promise can't be kept (callers gate on
+        :meth:`can_admit`, so the engine never trips this)."""
+        if not self.can_admit(worst_len):
+            raise RuntimeError(
+                f"cannot reserve {self.pages_for(worst_len)} pages "
+                f"({self.available_pages} available)"
+            )
+        self._reserved[slot] = self.pages_for(worst_len)
 
     def ensure(self, slot: int, new_len: int) -> None:
         """Grow the slot's page list to cover ``new_len`` tokens."""
@@ -162,7 +189,11 @@ class PageAllocator:
             self._used[slot] += 1
 
     def trim(self, slot: int, keep_len: int) -> None:
-        """Release pages beyond ``keep_len`` tokens (bucket-padding cleanup)."""
+        """Release pages beyond ``keep_len`` tokens (bucket-padding cleanup).
+
+        Keeps the slot's lifetime reservation intact — trimming is for
+        bucket-padding cleanup, not for shrinking the admission promise.
+        """
         keep = self.pages_for(keep_len)
         while self._used[slot] > keep:
             self._used[slot] -= 1
@@ -172,6 +203,7 @@ class PageAllocator:
 
     def release(self, slot: int) -> None:
         self.trim(slot, 0)
+        self._reserved[slot] = 0
 
 
 class PagedKVCache:

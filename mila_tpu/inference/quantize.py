@@ -22,14 +22,22 @@ import jax.numpy as jnp
 
 
 class QTensor(NamedTuple):
-    """Quantized weight: q [in, out] int8/fp8/int4, scales [n_blocks, out] f32."""
+    """Quantized weight: q [in, out] int8/fp8/int4, scales [n_blocks, out] f32.
+
+    ``packed_rows`` > 0 marks int4 nibble packing: q is int8 [in//2, out]
+    where byte row r holds value row r in the low nibble and row
+    r + in//2 in the high nibble; ``packed_rows`` is the original ``in``.
+    """
 
     q: jax.Array
     scale: jax.Array
     block_size: int  # static: rows of q per scale row
+    packed_rows: int = 0  # static: original K when int4-packed, else 0
 
     @property
     def shape(self):
+        if self.packed_rows:
+            return (self.packed_rows, self.q.shape[1])
         return self.q.shape
 
     @property
@@ -37,12 +45,13 @@ class QTensor(NamedTuple):
         return self.q.dtype
 
 
-# NamedTuple is already a pytree; block_size rides along as leaf? No — it
-# must be static. Register a custom pytree keeping block_size in treedef.
+# NamedTuple is already a pytree; block_size/packed_rows ride along as
+# leaves? No — they must be static. Register a custom pytree keeping them in
+# the treedef.
 jax.tree_util.register_pytree_node(
     QTensor,
-    lambda t: ((t.q, t.scale), t.block_size),
-    lambda bs, leaves: QTensor(leaves[0], leaves[1], bs),
+    lambda t: ((t.q, t.scale), (t.block_size, t.packed_rows)),
+    lambda aux, leaves: QTensor(leaves[0], leaves[1], aux[0], aux[1]),
 )
 
 
@@ -77,14 +86,55 @@ def quantize(
     qmax = _qmax(qdt)
     scale = jnp.maximum(absmax / qmax, 1e-12)
     scaled = w32 / scale[:, None, :]
-    if jnp.issubdtype(jnp.dtype(qdt), jnp.integer) or jnp.dtype(qdt) == jnp.dtype(jnp.int4):
+    if jnp.dtype(qdt) == jnp.dtype(jnp.int4):
+        # True 4-bit storage: nibble-pack into int8 (jnp.int4 arrays occupy a
+        # byte per element — packing actually halves HBM).
+        q = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(jnp.int8)
+        return pack_int4(QTensor(q.reshape(In, Out), scale, bs))
+    if jnp.issubdtype(jnp.dtype(qdt), jnp.integer):
         q = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(qdt)
     else:
         q = scaled.astype(qdt)
     return QTensor(q.reshape(In, Out), scale, bs)
 
 
+def pack_int4(qt: QTensor) -> QTensor:
+    """Nibble-pack an int4 QTensor: two signed 4-bit values per byte.
+
+    Byte row r = (v[r] & 0xF) | (v[r + K/2] << 4) — the "split-halves" layout
+    so one packed tile unpacks into two K-tiles at offsets r and K/2 + r (the
+    Pallas kernel slices the resident activations at both ranges). The
+    reference marks INT4 "FUTURE" (TensorDataType.ixx:43-46); first-class
+    here per SURVEY §2.2.
+    """
+    if qt.packed_rows:
+        return qt
+    K = qt.q.shape[0]
+    if K % 2:
+        raise ValueError("int4 packing needs an even in-dim")
+    v = qt.q.astype(jnp.int32)
+    lo = v[: K // 2] & 0xF
+    hi = v[K // 2:] & 0xF
+    packed = jax.lax.bitcast_convert_type(
+        (lo | (hi << 4)).astype(jnp.uint8), jnp.int8
+    )
+    return QTensor(packed, qt.scale, qt.block_size, K)
+
+
+def unpack_int4(qt: QTensor) -> QTensor:
+    """Inverse of :func:`pack_int4` (returns int4-valued int8 rows)."""
+    if not qt.packed_rows:
+        return qt
+    b = qt.q.astype(jnp.int32)
+    lo = (b << 28) >> 28  # sign-extend low nibble
+    hi = (b << 24) >> 28  # sign-extend high nibble
+    full = jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
+    return QTensor(full, qt.scale, qt.block_size, 0)
+
+
 def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    if qt.packed_rows:
+        qt = unpack_int4(qt)
     In, Out = qt.q.shape
     bs = qt.block_size
     q32 = qt.q.reshape(In // bs, bs, Out).astype(jnp.float32)

@@ -112,6 +112,7 @@ def rms_quant_linear(
         and bk >= 128
         and M * K * 2 <= _X_RESIDENT_BYTES
         and jnp.dtype(qt.q.dtype).itemsize == 1
+        and not qt.packed_rows
     )
     if not ok:
         from mila_tpu.ops.rmsnorm import rms_norm
@@ -206,6 +207,7 @@ def quant_linear_residual(
         and bn >= 128
         and bk >= 128
         and jnp.dtype(qt.q.dtype).itemsize == 1
+        and not qt.packed_rows
     )
     if not ok:
         out = quant_linear_ref(x2, qt) + r2.astype(x2.dtype)
@@ -316,6 +318,7 @@ def rms_quant_linear_swiglu(
         and bk >= 128
         and M * K * 2 <= _X_RESIDENT_BYTES
         and jnp.dtype(qt.q.dtype).itemsize == 1
+        and not qt.packed_rows
     )
     if not ok:
         from mila_tpu.ops.rmsnorm import rms_norm

@@ -130,7 +130,16 @@ def _quant_matmul_2d(
 # (block_n, block_k) per (K, N), measured on the v5e chip with
 # `python benchmarks/decode_profile.py --what sweep` (weight-stream GB/s).
 # Missing shapes fall through to the tile-size heuristic below.
-_DECODE_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {}
+_DECODE_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {
+    # (K, N): (block_n, block_k) — v5e M=8 sweep 2026-08-19
+    # (benchmarks/decode_sweep.py; best GB/s per Llama-1B decode shape)
+    (2048, 3072): (1024, 2048),   # wqkv   602 GB/s
+    (2048, 2048): (1024, 1024),   # wo     568 GB/s
+    (2048, 16384): (1024, 2048),  # wgu    729 GB/s
+    (2048, 8192): (1024, 2048),   # wgu swiglu-paired half
+    (8192, 2048): (1024, 2048),   # down   669 GB/s
+    (2048, 129024): (1536, 2048), # lm_head 743 GB/s
+}
 
 # Weight-tile byte budget: ~4MB double-buffers to 8MB, comfortably inside the
 # ~16MB VMEM/core with the x/acc/out blocks.
@@ -162,6 +171,123 @@ def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int,
     return block_n, block_k
 
 
+# ---------------------------------------------------------------------------
+# Packed INT4: two signed nibbles per byte, split-halves layout (pack_int4).
+# One packed tile unpacks into two K-tiles; the resident activations are
+# sliced at both ranges. Decode shapes only (M <= 32) — prefill unpacks to
+# the int8 path.
+# ---------------------------------------------------------------------------
+
+def _qmm4_kernel(
+    x_ref,  # [M, K] resident activations
+    wp_ref,  # [bkp, bn] packed int8 (2 nibbles)
+    sl_ref,  # [1, bn] scale row for the low-half K tile
+    sh_ref,  # [1, bn] scale row for the high-half K tile
+    o_ref,  # [M, bn]
+    acc_ref,
+    *,
+    n_k: int,
+    block_kp: int,
+    half: int,
+):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    b = wp_ref[...].astype(jnp.int32)
+    w_lo = ((b << 28) >> 28).astype(jnp.bfloat16)  # sign-extended low nibble
+    w_hi = ((b << 24) >> 28).astype(jnp.bfloat16)
+    x_lo = x_ref[:, pl.ds(ki * block_kp, block_kp)].astype(jnp.bfloat16)
+    x_hi = x_ref[:, pl.ds(half + ki * block_kp, block_kp)].astype(jnp.bfloat16)
+    p_lo = jax.lax.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+    p_hi = jax.lax.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    acc_ref[...] += p_lo * sl_ref[0][None, :] + p_hi * sh_ref[0][None, :]
+
+    @pl.when(ki == n_k - 1)
+    def _store():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _quant_matmul4_2d(x, qt, block_n, block_kp, interpret):
+    M, K = x.shape
+    Kp, N = qt.q.shape
+    half = K // 2
+    n_k = Kp // block_kp
+    qb = qt.block_size
+
+    def s_lo(ni, ki, _bk=block_kp, _qb=qb):
+        return ((ki * _bk) // _qb, ni)
+
+    def s_hi(ni, ki, _bk=block_kp, _qb=qb, _half=half):
+        return ((_half + ki * _bk) // _qb, ni)
+
+    return pl.pallas_call(
+        functools.partial(_qmm4_kernel, n_k=n_k, block_kp=block_kp, half=half),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        grid=(N // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((block_kp, block_n), lambda ni, ki: (ki, ni)),
+            pl.BlockSpec((1, block_n), s_lo),
+            pl.BlockSpec((1, block_n), s_hi),
+        ],
+        out_specs=pl.BlockSpec((M, block_n), lambda ni, ki: (0, ni)),
+        scratch_shapes=[pltpu.VMEM((M, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + Kp * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )(x, qt.q, qt.scale, qt.scale)
+
+
+def _quant_linear_int4(x2, qt, bias, activation, interpret):
+    """Dispatch for packed-int4 QTensors ([M, K] x already flattened)."""
+    from mila_tpu.inference.quantize import unpack_int4
+
+    M, K = x2.shape
+    Kp, N = qt.q.shape
+    half = K // 2
+    qb = qt.block_size
+    bkp = min(2048, Kp)
+    while bkp >= 128 and (Kp % bkp or qb % bkp):
+        bkp //= 2
+    bn = 1024
+    for cand in (4096, 3072, 2048, 1536, 1024, 512, 256):
+        if N % cand == 0 and cand * bkp <= _DECODE_TILE_BYTES:
+            bn = cand
+            break
+    # qb % bkp == 0 (enforced above) keeps every bkp-aligned K window inside
+    # one scale block for both nibble halves.
+    ok = (
+        M <= 32
+        and bkp >= 128
+        and N % bn == 0
+        and bn >= 128
+        and M * K * 2 <= 1024 * 1024
+    )
+    if not ok:
+        # Prefill / odd shapes: unpack to int8 once and take the int8 path.
+        return quant_linear(
+            x2, unpack_int4(qt), bias, activation=activation,
+            interpret=interpret,
+        )
+    out = _quant_matmul4_2d(x2, qt, bn, bkp, interpret)
+    if bias is not None:
+        out = (out.astype(jnp.float32) + bias.astype(jnp.float32)).astype(out.dtype)
+    if activation == "gelu":
+        out = jax.nn.gelu(out, approximate=True)
+    elif activation == "silu":
+        out = out * jax.nn.sigmoid(out)
+    return out
+
+
 def quant_linear(
     x: jax.Array,
     qt: QTensor,
@@ -181,6 +307,14 @@ def quant_linear(
     Drop-in quantized replacement for :func:`mila_tpu.ops.linear`. Falls back
     to the jnp reference for shapes that don't tile.
     """
+    if qt.packed_rows:
+        K = qt.packed_rows
+        orig_shape = x.shape
+        out = _quant_linear_int4(
+            x.reshape(-1, K), qt, bias, activation, interpret
+        )
+        return out.reshape(*orig_shape[:-1], qt.q.shape[1])
+
     K, N = qt.q.shape
     orig_shape = x.shape
     x2 = x.reshape(-1, K)

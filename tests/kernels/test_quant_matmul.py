@@ -85,3 +85,100 @@ class TestQuantMatmulKernel:
         qt = quantize(jax.random.normal(k2, (256, 128)) * 0.05, "int8")
         f = jax.jit(lambda x, qt: quant_linear(x, qt))
         np.testing.assert_allclose(f(x, qt), quant_linear(x, qt), rtol=1e-5, atol=1e-5)
+
+
+class TestPackedInt4:
+    """Nibble-packed INT4 kernel (split-halves layout, quantize.pack_int4)."""
+
+    def test_pack_unpack_roundtrip(self, rng_key):
+        from mila_tpu.inference.quantize import pack_int4, unpack_int4
+
+        w = jax.random.normal(rng_key, (256, 128)) * 0.05
+        # build an unpacked int4-valued QTensor by hand
+        from mila_tpu.inference.quantize import QTensor
+        import jax.numpy as jnp
+
+        q = jnp.clip(jnp.round(w * 50), -7, 7).astype(jnp.int8)
+        qt = QTensor(q, jnp.ones((1, 128), jnp.float32), 256)
+        packed = pack_int4(qt)
+        assert packed.q.shape == (128, 128)
+        assert packed.packed_rows == 256
+        back = unpack_int4(packed)
+        np.testing.assert_array_equal(np.asarray(back.q), np.asarray(q))
+
+    def test_quantize_int4_is_packed(self, rng_key):
+        w = jax.random.normal(rng_key, (512, 256)) * 0.02
+        qt = quantize(w, "int4")
+        assert qt.packed_rows == 512
+        assert qt.q.shape == (256, 256)
+        assert qt.q.dtype == jnp.int8
+
+    def test_dequantize_packed(self, rng_key):
+        from mila_tpu.inference.quantize import dequantize
+
+        w = jax.random.normal(rng_key, (512, 256)) * 0.02
+        qt = quantize(w, "int4")
+        back = dequantize(qt)
+        # int4 absmax: coarse but correlated
+        err = np.abs(np.asarray(back) - np.asarray(w)).max()
+        assert err < np.abs(np.asarray(w)).max() / 7.0 + 1e-6
+
+    @pytest.mark.parametrize("M", [1, 8, 32])
+    def test_decode_kernel_matches_reference(self, rng_key, M):
+        k1, k2 = jax.random.split(rng_key)
+        x = jax.random.normal(k1, (M, 512), jnp.bfloat16)
+        w = jax.random.normal(k2, (512, 1024)) * 0.02
+        qt = quantize(w, "int4")
+        out = quant_linear(x, qt)
+        ref = quant_linear_ref(x, qt, compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_block_scales(self, rng_key):
+        k1, k2 = jax.random.split(rng_key)
+        x = jax.random.normal(k1, (8, 1024), jnp.bfloat16)
+        w = jax.random.normal(k2, (1024, 512)) * 0.02
+        qt = quantize(w, "int4", block_size=256)
+        out = quant_linear(x, qt)
+        ref = quant_linear_ref(x, qt, compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_prefill_falls_back_to_int8_path(self, rng_key):
+        """M > 32 unpacks and runs the int8 Pallas/ref path."""
+        k1, k2 = jax.random.split(rng_key)
+        x = jax.random.normal(k1, (128, 512), jnp.bfloat16)
+        w = jax.random.normal(k2, (512, 256)) * 0.02
+        qt = quantize(w, "int4")
+        out = quant_linear(x, qt)
+        ref = quant_linear_ref(x, qt, compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_bias_and_silu(self, rng_key):
+        k1, k2 = jax.random.split(rng_key)
+        x = jax.random.normal(k1, (8, 512), jnp.bfloat16)
+        w = jax.random.normal(k2, (512, 256)) * 0.02
+        b = jax.random.normal(jax.random.fold_in(rng_key, 1), (256,), jnp.float32)
+        qt = quantize(w, "int4")
+        out = quant_linear(x, qt, b, activation="silu")
+        ref = quant_linear_ref(x, qt, b, compute_dtype=jnp.bfloat16)
+        ref = ref * jax.nn.sigmoid(ref.astype(jnp.float32)).astype(ref.dtype)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=5e-2, atol=5e-2,
+        )
+
+    def test_int4_memory_halves(self, rng_key):
+        from mila_tpu.inference.quantize import model_bytes
+
+        w = jax.random.normal(rng_key, (1024, 1024)) * 0.02
+        q8 = quantize(w, "int8")
+        q4 = quantize(w, "int4")
+        assert q4.q.nbytes * 2 == q8.q.nbytes
