@@ -120,16 +120,22 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8")) -> dict:
               "note": "vs_baseline = roofline_frac: measured per-token time "
                       "vs the mandatory-HBM-bytes lower bound at 819 GB/s"}
     for dt in dtypes:
-        if dt == "bf16":
-            detail["bf16"] = bench_decode(model, params, cfg, batch=8,
+        try:
+            if dt == "bf16":
+                detail["bf16"] = bench_decode(model, params, cfg, batch=8,
+                                              prompt_len=128)
+            else:
+                qdt = "fp8_e4m3" if dt == "fp8" else dt
+                qparams = add_quantized_lm_head(
+                    quantize_model_params(params, qdt), qdt
+                )
+                detail[dt] = bench_decode(model, qparams, cfg, batch=8,
                                           prompt_len=128)
-        else:
-            qdt = "fp8_e4m3" if dt == "fp8" else dt
-            qparams = add_quantized_lm_head(
-                quantize_model_params(params, qdt), qdt
-            )
-            detail[dt] = bench_decode(model, qparams, cfg, batch=8,
-                                      prompt_len=128)
+        except Exception as e:  # noqa: BLE001 - report per-dtype failures
+            if dt == "int8":
+                raise  # the headline metric must not be silently absent
+            traceback.print_exc()
+            detail[dt] = {"error": f"{type(e).__name__}: {e}"[:300]}
     pick = detail.get("int8") or detail.get("fp8") or detail["bf16"]
     return {
         "metric": "llama32_1b_int8_decode_tok_s_chip",

@@ -77,6 +77,14 @@ class EngineConfig:
     kv_layout: str = "auto"  # auto | paged | contiguous
     page_size: int = 128
     num_pages: int = 0  # 0 → max_batch * ceil(max_len/page_size) + 1
+    # Speculative decoding inside the engine (paged layout): a small draft
+    # model proposes speculative_k tokens per round; the target verifies all
+    # of them in ONE forward_paged_chunk call. Greedy requests accept the
+    # longest matching prefix (+ the target's bonus token); sampled requests
+    # fall back to one target token per round. 0 = off.
+    speculative_k: int = 0
+    draft_model: Any = None
+    draft_params: Any = None
 
 
 class InferenceEngine:
@@ -109,6 +117,20 @@ class InferenceEngine:
             self.cache = model.init_kv_cache(c.max_batch, c.max_len, dt)
             self.pools = None
             self.alloc = None
+        self.spec_k = int(c.speculative_k or 0)
+        if self.spec_k:
+            if self.kv_layout != "paged":
+                raise ValueError("speculative decoding requires the paged layout")
+            if not hasattr(model, "forward_paged_chunk"):
+                raise ValueError("model has no forward_paged_chunk (speculative verify)")
+            if c.draft_model is None or c.draft_params is None:
+                raise ValueError("speculative_k needs draft_model + draft_params")
+            if c.draft_model.config.vocab_size != model.config.vocab_size:
+                raise ValueError("draft/target vocab mismatch")
+            self.draft_cache = c.draft_model.init_kv_cache(
+                c.max_batch, c.max_len, jnp.bfloat16
+            )
+            self._spec_fns = None
         self._slots: list[Optional[Request]] = [None] * c.max_batch
         self._queue: list[Request] = []
         self._req_ids = itertools.count()
@@ -117,7 +139,8 @@ class InferenceEngine:
         self._rng = jax.random.key(0)
         self._decode_fn = None
         self._prefill_fns: dict[int, Callable] = {}
-        self.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0}
+        self.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0,
+                      "spec_rounds": 0, "spec_accepted": 0, "spec_proposed": 0}
 
     # ------------- public API -------------
 
@@ -140,7 +163,7 @@ class InferenceEngine:
             on_token=on_token,
             submitted_at=time.monotonic(),
         )
-        margin = max(self.config.decode_chunk, 1)
+        margin = self._overshoot_margin()
         if len(req.prompt) + max_new_tokens + margin > self.config.max_len:
             raise ValueError("prompt + max_new_tokens exceeds engine max_len")
         if self.kv_layout == "paged":
@@ -279,6 +302,123 @@ class InferenceEngine:
             self._decode_chunk = chunk
         return self._decode_fn
 
+    # ---- speculative decoding (paged target + contiguous draft) ----
+
+    def _get_spec_fns(self):
+        if self._spec_fns is None:
+            model, c = self.model, self.config
+            dmodel = c.draft_model
+            k = self.spec_k
+            V = model.config.vocab_size
+
+            @jax.jit
+            def draft_propose(dparams, dcache, tokens, positions):
+                def body(carry, _):
+                    toks, dcache, pos = carry
+                    logits, dcache = dmodel.forward_with_cache_ragged(
+                        dparams, toks, dcache, pos
+                    )
+                    nxt = jnp.argmax(logits[:, -1, :V], -1).astype(jnp.int32)
+                    return (nxt[:, None], dcache, pos + 1), nxt
+
+                (_, dcache, _), drafts = jax.lax.scan(
+                    body, (tokens, dcache, positions), None, length=k
+                )
+                return drafts.T, dcache  # [B, k]
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def verify(params, pools, table, tokens_k1, positions, key,
+                       temps):
+                logits, pools = model.forward_paged_chunk(
+                    params, tokens_k1, pools, table, positions
+                )
+                logits = logits[..., :V].astype(jnp.float32)
+                tgt = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, k+1]
+                scaled = logits[:, 0] / jnp.maximum(temps[:, None], 1e-6)
+                samp0 = jax.random.categorical(key, scaled, -1).astype(jnp.int32)
+                return tgt, samp0, pools
+
+            self._spec_fns = (draft_propose, verify)
+        return self._spec_fns
+
+    def _get_draft_prefill_fn(self, bucket: int):
+        key = ("draft", bucket)
+        if key not in self._prefill_fns:
+            dmodel = self.config.draft_model
+
+            @jax.jit
+            def prefill(dparams, dcache, tokens, slot_onehot):
+                _, upd = dmodel.forward_with_cache(
+                    dparams, tokens,
+                    jax.tree_util.tree_map(lambda c: c[:1], dcache), 0,
+                )
+
+                def put(full, one):
+                    mask = (slot_onehot > 0)[:, None, None, None]
+                    return jnp.where(
+                        mask,
+                        jnp.broadcast_to(one, full.shape).astype(full.dtype),
+                        full,
+                    )
+
+                return jax.tree_util.tree_map(put, dcache, upd)
+
+            self._prefill_fns[key] = prefill
+        return self._prefill_fns[key]
+
+    def _spec_round(self, active: list[int], finished: list[Request]) -> None:
+        """One speculative round: draft k greedy proposals, verify them all
+        in one target forward, emit the accepted prefix + bonus token."""
+        c = self.config
+        k = self.spec_k
+        draft_propose, verify = self._get_spec_fns()
+        tokens = jnp.asarray(self._last_token[:, None])
+        positions = jnp.asarray(self._positions)
+        drafts, self.draft_cache = draft_propose(
+            c.draft_params, self.draft_cache, tokens, positions
+        )
+        tokens_k1 = jnp.concatenate([tokens, drafts], axis=1)  # [B, k+1]
+        for i in active:
+            self.alloc.ensure(i, int(self._positions[i]) + k + 1)
+        greedy = np.zeros((c.max_batch,), bool)
+        temps = np.ones((c.max_batch,), np.float32)
+        for i in active:
+            s = self._slots[i].sampling
+            greedy[i] = s.greedy or s.temperature == 0.0
+            temps[i] = max(s.temperature, 1e-6)
+        self._rng, sub = jax.random.split(self._rng)
+        tgt, samp0, self.pools = verify(
+            self.params, self.pools, jnp.asarray(self.alloc.table),
+            tokens_k1, positions, sub, jnp.asarray(temps),
+        )
+        tgt_np = np.asarray(tgt)
+        samp0_np = np.asarray(samp0)
+        drafts_np = np.asarray(drafts)
+        for i in active:
+            req = self._slots[i]
+            if greedy[i]:
+                a = 0
+                while a < k and drafts_np[i, a] == tgt_np[i, a]:
+                    a += 1
+                emit = [int(x) for x in drafts_np[i, :a]] + [int(tgt_np[i, a])]
+                self.stats["spec_proposed"] += k
+                self.stats["spec_accepted"] += a
+            else:
+                # Sampled request: one target token per round (the verify
+                # logits at index 0 are exactly the next-token distribution).
+                a = 0
+                emit = [int(samp0_np[i])]
+            for t in emit:
+                if req.done:
+                    break
+                self._emit(req, t)
+                self._maybe_finish(req, finished)
+            if self._slots[i] is not None:
+                self._positions[i] = int(positions[i]) + a + 1
+                self._last_token[i] = emit[-1]
+        self.stats["spec_rounds"] += 1
+        self.stats["steps"] += 1
+
     def _drop_cancelled(self, finished: list[Request]) -> None:
         still: list[Request] = []
         for r in self._queue:
@@ -291,12 +431,17 @@ class InferenceEngine:
             if req is not None and req.cancelled:
                 self._retire(req, finished)
 
+    def _overshoot_margin(self) -> int:
+        """Cache positions can overshoot the final emitted token by up to a
+        decode chunk (or a speculative round of k drafts + bonus)."""
+        return max(self.config.decode_chunk, self.spec_k + 1, 1)
+
     def _worst_len(self, req: Request) -> int:
         """Worst-case token count a request can ever occupy: the prefill
         bucket (pages are written for the whole bucket before trim) or the
         final length including decode-chunk overshoot, whichever is larger."""
         bucket = self._bucket_for(len(req.prompt))
-        final = len(req.prompt) + req.max_new_tokens + max(self.config.decode_chunk, 1)
+        final = len(req.prompt) + req.max_new_tokens + self._overshoot_margin()
         return max(bucket, min(final, self.config.max_len))
 
     def _admit(self, finished: list[Request]) -> None:
@@ -360,6 +505,17 @@ class InferenceEngine:
             jnp.asarray(table),
             jnp.asarray(true_len),
         )
+        if self.spec_k:
+            # The draft model mirrors the prompt in its contiguous cache.
+            draft_prefill = self._get_draft_prefill_fn(bucket)
+            for req in reqs:
+                onehot = np.zeros((c.max_batch,), np.float32)
+                onehot[req.slot] = 1.0
+                self.draft_cache = draft_prefill(
+                    c.draft_params, self.draft_cache,
+                    jnp.asarray(tokens[req.slot:req.slot + 1]),
+                    jnp.asarray(onehot),
+                )
         logits = np.asarray(logits)  # [max_batch, V] — one fetch per group
         V = self.model.config.vocab_size
         for req in reqs:
@@ -414,6 +570,9 @@ class InferenceEngine:
         # remote TPUs). Slots finishing mid-chunk overshoot; extra tokens are
         # discarded and their cache rows/pages are reclaimed on retirement.
         active = [i for i, s in enumerate(self._slots) if s is not None]
+        if active and self.spec_k:
+            self._spec_round(active, finished)
+            return finished
         if active:
             decode = self._get_decode_fn()
             chunk = self._decode_chunk

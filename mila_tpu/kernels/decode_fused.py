@@ -34,7 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mila_tpu.inference.quantize import QTensor, quant_linear_ref
-from mila_tpu.kernels.quant_matmul import _DECODE_TILE_BYTES, _pick_blocks
+from mila_tpu.kernels.quant_matmul import (
+    _DECODE_TILE_BYTES,
+    _pick_blocks,
+    _tile_budget,
+)
 
 
 def _interpret_default() -> bool:
@@ -101,7 +105,8 @@ def rms_quant_linear(
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
-    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size)
+    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size,
+                          budget=_tile_budget(qt.q.dtype))
     while N % bn:
         bn //= 2
     while K % bk or qt.block_size % bk:
@@ -197,7 +202,8 @@ def quant_linear_residual(
     r2 = res.reshape(-1, N)
     M = x2.shape[0]
 
-    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size)
+    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size,
+                          budget=_tile_budget(qt.q.dtype))
     while N % bn:
         bn //= 2
     while K % bk or qt.block_size % bk:
@@ -306,7 +312,8 @@ def rms_quant_linear_swiglu(
     M = x2.shape[0]
 
     # Two weight tiles stream per grid step: halve the byte budget per tile.
-    bn, bk = _pick_blocks(M, K, I, 1024, 512, qt.block_size)
+    bn, bk = _pick_blocks(M, K, I, 1024, 512, qt.block_size,
+                          budget=_tile_budget(qt.q.dtype))
     while I % bn or bn * bk > _DECODE_TILE_BYTES // 2:
         bn //= 2
     while K % bk or qt.block_size % bk:

@@ -110,6 +110,86 @@ def _fa_kernel(
         m_ref[0, 0] = m_scr[...]
 
 
+def _fa_kernel_t(
+    q_ref, k_ref, v_ref,  # [1, 1, bq, d], [1, 1, bk, d], [1, 1, bk, d]
+    o_ref,  # [1, 1, bq, d]
+    l_ref, m_ref,  # [1, 1, bq, LANES] row statistics (lanes-padded)
+    m_scr, l_scr, acc_scr,  # VMEM [8, bq], [8, bq], [d, bq] f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    kv_seq_len: int,
+    block_q: int,
+    block_k: int,
+    kv_offset: int,
+):
+    """Transposed-layout flash step for head_dim < 128.
+
+    With D=64 the classic layout runs BOTH dots at half MXU width (QK^T
+    contracts over D; PV outputs D lanes). Computing s^T = K·Q^T and
+    out^T = V^T·P^T keeps the PV contraction over block_k (full 128 width)
+    and its output over block_q lanes — PV at full MXU rate, one [d, bq]
+    transpose per q tile at store time. Scores/stats live as [*, bq] rows
+    (lane-major), so the online-softmax VPU math is lane-wise.
+    """
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    num_kv = pl.num_programs(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    if causal:
+        should_run = (q_idx + 1) * block_q - 1 + kv_offset >= kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
+        # s^T = k @ q^T: contraction over D, output lanes = bq (full width).
+        s = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, bq] f32
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        if causal:
+            kv_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + kv_idx * block_k
+            q_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + q_idx * block_q + kv_offset
+            s = jnp.where(kv_pos <= q_pos, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[0:1]  # [1, bq]
+        l_prev = l_scr[0:1]
+        m_curr = jnp.max(s, axis=0, keepdims=True)  # [1, bq]
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)  # [1, bq]
+        p = jnp.exp(s - m_next)  # [bk, bq]
+        m_scr[0:1] = m_next
+        l_scr[0:1] = alpha * l_prev + jnp.sum(p, axis=0, keepdims=True)
+
+        v = v_ref[0, 0]  # [bk, d]
+        # out^T += v^T @ p^T: contraction over bk (full MXU width), output
+        # lanes = bq (full width) — no transposes, dims contract in place.
+        pv = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, bq]
+        acc_scr[...] = acc_scr[...] * alpha + pv  # alpha broadcasts over d
+
+    @pl.when(kv_idx == num_kv - 1)
+    def _store():
+        l = l_scr[0:1]  # [1, bq]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).T.astype(o_ref.dtype)
+        l_ref[0, 0] = jnp.broadcast_to(l_scr[0:1].T, (block_q, NUM_LANES))
+        m_ref[0, 0] = jnp.broadcast_to(m_scr[0:1].T, (block_q, NUM_LANES))
+
+
 def _flash_attention_forward(
     q: jax.Array,  # [B, NH, Tq, D]
     k: jax.Array,  # [B, NKV, Tkv, D]
@@ -133,8 +213,11 @@ def _flash_attention_forward(
         )
     grid = (B, NH, Tq // block_q, Tkv // block_k)
 
+    # Transposed PV layout wins when D < 128 (see _fa_kernel_t docstring);
+    # at D >= 128 the classic layout already runs both dots full-width.
+    transposed = D < 128
     kernel = functools.partial(
-        _fa_kernel,
+        _fa_kernel_t if transposed else _fa_kernel,
         causal=causal,
         sm_scale=sm_scale,
         kv_seq_len=Tkv,
@@ -171,11 +254,19 @@ def _flash_attention_forward(
             pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
             pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((8, block_q), jnp.float32),
+                pltpu.VMEM((8, block_q), jnp.float32),
+                pltpu.VMEM((D, block_q), jnp.float32),
+            ]
+            if transposed
+            else [
+                pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_q, NUM_LANES), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),

@@ -147,28 +147,45 @@ _DECODE_TILE_BYTES = 4 * 1024 * 1024
 
 
 def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int,
-                 qblock: int):
+                 qblock: int, budget: int = _DECODE_TILE_BYTES):
     """Decode shapes (M <= 32) are pure weight-stream: pick the largest
     (bn, bk) tile dividing (N, K) under the VMEM budget so the HBM DMAs are
     few and large. Prefill/training shapes keep the caller's MXU-tuned blocks.
 
     ``qblock`` (the quantization block size) caps bk: every K tile must see a
-    single scale row, so bk must divide qblock as well as K.
+    single scale row, so bk must divide qblock as well as K. ``budget`` caps
+    bn*bk weight-tile bytes — fp8 tiles convert through wider VMEM
+    intermediates than int8, so their callers pass a halved budget.
     """
     if M > 32:
         return block_n, block_k
     hit = _DECODE_BLOCKS.get((K, N))
     if hit is not None and hit[1] <= qblock and qblock % hit[1] == 0:
-        return hit
+        bn, bk = hit
+        while bn > 128 and bn * bk > budget:
+            bn //= 2
+        if N % bn == 0 and bn * bk <= budget:
+            return bn, bk
     bk = min(2048, qblock)
     while bk >= 128 and (K % bk or qblock % bk):
         bk //= 2
     if bk < 128:
         return block_n, block_k
     for bn in (4096, 3072, 2048, 1536, 1024, 512, 256):
-        if N % bn == 0 and bn * bk <= _DECODE_TILE_BYTES:
+        if N % bn == 0 and bn * bk <= budget:
             return bn, bk
     return block_n, block_k
+
+
+def _tile_budget(qdtype) -> int:
+    """fp8 weight tiles widen through f32-sized VMEM intermediates during
+    conversion (measured: a 2MB fp8 tile allocates ~20MB scoped VMEM);
+    quarter the per-tile byte budget to stay inside the ~16MB limit."""
+    return (
+        _DECODE_TILE_BYTES
+        if jnp.dtype(qdtype) == jnp.int8
+        else _DECODE_TILE_BYTES // 4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +342,8 @@ def quant_linear(
     block_k = 512 if block_k is None else block_k
     if not explicit:
         block_n, block_k = _pick_blocks(M, K, N, block_n, block_k,
-                                        qt.block_size)
+                                        qt.block_size,
+                                        budget=_tile_budget(qt.q.dtype))
     bm = min(block_m, M)
     bn = min(block_n, N)
     bk = min(block_k, K)

@@ -477,6 +477,43 @@ class Llama(CompositeModule):
             x = blk._finish_attn(bp, x, att)
         return self._norm_logits(params, x), pools
 
+    def forward_paged_chunk(self, params, tokens, pools, page_table, positions):
+        """Multi-token paged forward with per-row start positions.
+
+        tokens [B, t] (t small — speculative verify / chunked catch-up),
+        positions [B] = tokens already stored per row. Token j of row b sits
+        at absolute position positions[b] + j; K/V write through the page
+        table, attention reads pages with per-(row, token) causal lengths by
+        flattening the [B, t] queries to B*t rows for the paged kernel.
+        Returns (logits [B, t, V], pools).
+        """
+        cfg: LlamaConfig = self.config
+        from mila_tpu.inference.kv_cache import paged_attention_read, paged_scatter
+
+        B, t = tokens.shape
+        ps = pools["k"].shape[3]
+        x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B, t, H]
+        pos_bt = positions[:, None] + jnp.arange(t)[None, :]  # [B, t]
+        cos, sin = self._rope(pos_bt)
+        page_ids = jnp.take_along_axis(page_table, pos_bt // ps, axis=1)
+        offs = pos_bt % ps
+        # Flattened-query view for the paged kernel: each of the B*t rows
+        # attends to its own causal prefix length.
+        flat_table = jnp.repeat(page_table, t, axis=0)  # [B*t, W]
+        flat_lens = (pos_bt + 1).astype(jnp.int32).reshape(-1)  # [B*t]
+        for i in range(cfg.num_layers):
+            blk = self.get(f"h{i}")
+            bp = params[f"h{i}"]
+            q, k, v = blk._qkv(bp, x)
+            q = ops.apply_rope(q, cos, sin)
+            k = ops.apply_rope(k, cos, sin)
+            pools = paged_scatter(pools, i, page_ids, offs, k, v)
+            qf = q.reshape(B * t, 1, cfg.num_heads, cfg.hd)
+            att = paged_attention_read(pools, i, qf, flat_table, flat_lens)
+            att = att.reshape(B, t, cfg.num_heads, cfg.hd)
+            x = blk._finish_attn(bp, x, att)
+        return self._norm_logits(params, x), pools
+
     def forward_with_cache_ragged(self, params, tokens, cache, positions):
         """Single-token decode with per-row positions (continuous batching)."""
         cfg: LlamaConfig = self.config

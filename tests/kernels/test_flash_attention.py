@@ -111,6 +111,41 @@ class TestFlashAttentionKernel:
         for a, b in zip(gf, gr):
             np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
 
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_head_dim_64_transposed_layout(self, rng_key, causal):
+        """D < 128 routes through the transposed-PV kernel (llama head_dim)."""
+        q, k, v = _qkv(rng_key, 2, 256, 4, 64, NKV=2)
+        out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+        ref = dot_product_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(out, ref, rtol=2e-3, atol=2e-3)
+
+    def test_head_dim_64_multi_tile_stats(self, rng_key):
+        """Online-softmax correction across 4 KV tiles in the transposed
+        layout, plus extreme logits."""
+        q, k, v = _qkv(rng_key, 1, 512, 2, 64)
+        q = q * 20.0
+        out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+        ref = dot_product_attention(q, k, v, causal=True)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        np.testing.assert_allclose(out, ref, rtol=5e-3, atol=5e-3)
+
+    def test_head_dim_64_grads(self, rng_key):
+        """Backward consumes the transposed forward's l/m stats (col 0)."""
+        q, k, v = _qkv(rng_key, 1, 256, 2, 64)
+        ct = jax.random.normal(rng_key, q.shape)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=True,
+                                           block_q=128, block_k=128) * ct)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, causal=True) * ct)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
+
     @pytest.mark.parametrize("offset", [0, 128])
     def test_grads_bf16(self, rng_key, offset):
         """bf16 backward parity: the Pallas bwd kernels run QK^T/PV and ds/p
