@@ -75,6 +75,11 @@ def main() -> int:
     ap.add_argument("--val-every", type=int, default=250)
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--quant-eval", action="store_true",
+        help="after training, report BF16-vs-quantized val perplexity deltas "
+             "(the BASELINE config-3 gate, runnable at 124M scale)",
+    )
     args = ap.parse_args()
 
     mila_tpu.initialize(seed=args.seed)
@@ -137,6 +142,23 @@ def main() -> int:
     if args.checkpoint:
         save_checkpoint(args.checkpoint, params, opt_state=opt_state, model_config=cfg)
         Logger.info("checkpoint: {}", args.checkpoint)
+
+    if args.quant_eval:
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.evaluation import perplexity_delta
+
+        def batches():
+            for i in range(8):
+                yield val.next_batch(i)
+
+        for qdt in ("int8", "fp8_e4m3", "int4"):
+            qparams = quantize_model_params(params, qdt, min_size=4096)
+            report = perplexity_delta(model, params, qparams, batches)
+            print(
+                f"quantization gate [{qdt}]: ppl bf16={report['ppl_ref']:.4f} "
+                f"{qdt}={report['ppl_test']:.4f} delta={report['delta']:+.4f} "
+                f"({report['rel_delta']*100:+.2f}%)"
+            )
     return 0
 
 

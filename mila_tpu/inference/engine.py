@@ -575,7 +575,20 @@ class InferenceEngine:
             return finished
         if active:
             decode = self._get_decode_fn()
+            # Variable chunk: when every active slot is within `bound` tokens
+            # of its max_new_tokens cap, shrink the scan to the next power of
+            # two >= bound (the jitted decode specializes per keys-length, so
+            # this costs at most log2(decode_chunk) extra compiles and stops
+            # retiring requests from burning up to chunk-1 wasted ~ms-scale
+            # decode steps each). EOS-finishes stay unpredictable; the cap
+            # bound is the guaranteed part.
             chunk = self._decode_chunk
+            bound = max(
+                self._slots[i].max_new_tokens - len(self._slots[i].output)
+                for i in active
+            )
+            if 0 < bound < chunk:
+                chunk = 1 << (bound - 1).bit_length()
             tokens = jnp.asarray(self._last_token[:, None])
             positions = jnp.asarray(self._positions)
             self._rng, sub = jax.random.split(self._rng)

@@ -36,8 +36,10 @@ from jax.experimental.pallas import tpu as pltpu
 from mila_tpu.inference.quantize import QTensor, quant_linear_ref
 from mila_tpu.kernels.quant_matmul import (
     _DECODE_TILE_BYTES,
+    _load_w,
     _pick_blocks,
     _tile_budget,
+    _w_scale_fixup,
 )
 
 
@@ -69,6 +71,7 @@ def _rms_qmm_kernel(
     n_k: int,
     block_k: int,
     eps: float,
+    scale_fix: float = 1.0,
 ):
     ki = pl.program_id(1)
 
@@ -80,11 +83,14 @@ def _rms_qmm_kernel(
     xt = x_ref[:, pl.ds(ki * block_k, block_k)].astype(jnp.float32)
     gt = g_ref[0, pl.ds(ki * block_k, block_k)]
     xs = xt * rstd * gt[None, :]
-    w = w_ref[...].astype(jnp.bfloat16)
+    w = _load_w(w_ref[...])
     partial = jax.lax.dot(
         xs.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
-    acc_ref[...] += partial * s_ref[0][None, :]
+    s = s_ref[0]
+    if scale_fix != 1.0:
+        s = s * scale_fix
+    acc_ref[...] += partial * s[None, :]
 
     @pl.when(ki == n_k - 1)
     def _store():
@@ -128,7 +134,8 @@ def rms_quant_linear(
     n_k = K // bk
     grid = (N // bn, n_k)
     out = pl.pallas_call(
-        functools.partial(_rms_qmm_kernel, n_k=n_k, block_k=bk, eps=eps),
+        functools.partial(_rms_qmm_kernel, n_k=n_k, block_k=bk, eps=eps,
+                          scale_fix=_w_scale_fixup(qt.q.dtype)),
         out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
         grid=grid,
         in_specs=[
@@ -168,6 +175,7 @@ def _qmm_res_kernel(
     acc_ref,
     *,
     n_k: int,
+    scale_fix: float = 1.0,
 ):
     ki = pl.program_id(1)
 
@@ -175,11 +183,14 @@ def _qmm_res_kernel(
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[...].astype(jnp.bfloat16)
+    w = _load_w(w_ref[...])
     partial = jax.lax.dot(
         x_ref[...].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
-    acc_ref[...] += partial * s_ref[0][None, :]
+    s = s_ref[0]
+    if scale_fix != 1.0:
+        s = s * scale_fix
+    acc_ref[...] += partial * s[None, :]
 
     @pl.when(ki == n_k - 1)
     def _store():
@@ -222,7 +233,8 @@ def quant_linear_residual(
     n_k = K // bk
     grid = (N // bn, n_k)
     out = pl.pallas_call(
-        functools.partial(_qmm_res_kernel, n_k=n_k),
+        functools.partial(_qmm_res_kernel, n_k=n_k,
+                          scale_fix=_w_scale_fixup(qt.q.dtype)),
         out_shape=jax.ShapeDtypeStruct((M, N), res.dtype),
         grid=grid,
         in_specs=[
@@ -268,6 +280,7 @@ def _rms_qmm_swiglu_kernel(
     n_k: int,
     block_k: int,
     eps: float,
+    scale_fix: float = 1.0,
 ):
     ki = pl.program_id(1)
 
@@ -280,12 +293,15 @@ def _rms_qmm_swiglu_kernel(
     xt = x_ref[:, pl.ds(ki * block_k, block_k)].astype(jnp.float32)
     gt = g_ref[0, pl.ds(ki * block_k, block_k)]
     xb = (xt * rstd * gt[None, :]).astype(jnp.bfloat16)
-    pg = jax.lax.dot(xb, wg_ref[...].astype(jnp.bfloat16),
+    pg = jax.lax.dot(xb, _load_w(wg_ref[...]),
                      preferred_element_type=jnp.float32)
-    pu = jax.lax.dot(xb, wu_ref[...].astype(jnp.bfloat16),
+    pu = jax.lax.dot(xb, _load_w(wu_ref[...]),
                      preferred_element_type=jnp.float32)
-    accg_ref[...] += pg * sg_ref[0][None, :]
-    accu_ref[...] += pu * su_ref[0][None, :]
+    sg, su = sg_ref[0], su_ref[0]
+    if scale_fix != 1.0:
+        sg, su = sg * scale_fix, su * scale_fix
+    accg_ref[...] += pg * sg[None, :]
+    accu_ref[...] += pu * su[None, :]
 
     @pl.when(ki == n_k - 1)
     def _store():
@@ -339,7 +355,8 @@ def rms_quant_linear_swiglu(
     n_i = I // bn
     grid = (n_i, n_k)
     out = pl.pallas_call(
-        functools.partial(_rms_qmm_swiglu_kernel, n_k=n_k, block_k=bk, eps=eps),
+        functools.partial(_rms_qmm_swiglu_kernel, n_k=n_k, block_k=bk, eps=eps,
+                          scale_fix=_w_scale_fixup(qt.q.dtype)),
         out_shape=jax.ShapeDtypeStruct((M, I), x.dtype),
         grid=grid,
         in_specs=[

@@ -39,7 +39,7 @@ def _interpret_default() -> bool:
 def _fa_kernel(
     q_ref, k_ref, v_ref,  # [1, 1, bq, d], [1, 1, bk, d], [1, 1, bk, d]
     o_ref,  # [1, 1, bq, d]
-    l_ref, m_ref,  # [1, 1, bq, LANES] row statistics (lanes-padded)
+    l_ref, m_ref,  # [1, 1, bq, LANES] row statistics (None in inference)
     m_scr, l_scr, acc_scr,  # VMEM scratch [bq, LANES], [bq, LANES], [bq, d]
     *,
     causal: bool,
@@ -106,8 +106,9 @@ def _fa_kernel(
         l = l_scr[...][:, :1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).astype(o_ref.dtype)
-        l_ref[0, 0] = l_scr[...]
-        m_ref[0, 0] = m_scr[...]
+        if l_ref is not None:
+            l_ref[0, 0] = l_scr[...]
+            m_ref[0, 0] = m_scr[...]
 
 
 def _fa_kernel_t(
@@ -186,8 +187,9 @@ def _fa_kernel_t(
         l = l_scr[0:1]  # [1, bq]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0, 0] = (acc_scr[...] * l_inv).T.astype(o_ref.dtype)
-        l_ref[0, 0] = jnp.broadcast_to(l_scr[0:1].T, (block_q, NUM_LANES))
-        m_ref[0, 0] = jnp.broadcast_to(m_scr[0:1].T, (block_q, NUM_LANES))
+        if l_ref is not None:
+            l_ref[0, 0] = jnp.broadcast_to(l_scr[0:1].T, (block_q, NUM_LANES))
+            m_ref[0, 0] = jnp.broadcast_to(m_scr[0:1].T, (block_q, NUM_LANES))
 
 
 def _flash_attention_forward(
@@ -200,7 +202,13 @@ def _flash_attention_forward(
     block_q: int,
     block_k: int,
     interpret: Optional[bool],
+    save_stats: bool = True,
 ) -> jax.Array:
+    """``save_stats=False`` (the inference/primal path) skips the l/m row-stat
+    outputs entirely: they are lanes-padded to [Tq, 128] f32 for Mosaic block
+    alignment, which at prefill shapes writes more HBM bytes than the whole
+    attention compute floor (e.g. 268MB at B=4/NH=32/T=2048). Only the
+    backward pass reads them."""
     B, NH, Tq, D = q.shape
     _, NKV, Tkv, _ = k.shape
     group = NH // NKV
@@ -216,7 +224,7 @@ def _flash_attention_forward(
     # Transposed PV layout wins when D < 128 (see _fa_kernel_t docstring);
     # at D >= 128 the classic layout already runs both dots full-width.
     transposed = D < 128
-    kernel = functools.partial(
+    base = functools.partial(
         _fa_kernel_t if transposed else _fa_kernel,
         causal=causal,
         sm_scale=sm_scale,
@@ -225,16 +233,33 @@ def _flash_attention_forward(
         block_k=block_k,
         kv_offset=kv_offset,
     )
-    flops_per = 4 * Tq * Tkv * D  # QK^T + PV, both 2*T*T*D
-    out, l, m = pl.pallas_call(
-        kernel,
-        out_shape=(
+    if save_stats:
+        kernel = base
+        out_shape = (
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             # Row stats carry a lanes axis (Mosaic block alignment); the
             # backward kernels read column 0.
             jax.ShapeDtypeStruct((B, NH, Tq, NUM_LANES), jnp.float32),
             jax.ShapeDtypeStruct((B, NH, Tq, NUM_LANES), jnp.float32),
-        ),
+        )
+        out_specs = (
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
+        )
+    else:
+
+        def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+            base(q_ref, k_ref, v_ref, o_ref, None, None, m_scr, l_scr, acc_scr)
+
+        out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+        out_specs = pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)
+        )
+    flops_per = 4 * Tq * Tkv * D  # QK^T + PV, both 2*T*T*D
+    res = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -249,11 +274,7 @@ def _flash_attention_forward(
                 lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
             ),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, NUM_LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
-        ),
+        out_specs=out_specs,
         scratch_shapes=(
             [
                 pltpu.VMEM((8, block_q), jnp.float32),
@@ -278,7 +299,9 @@ def _flash_attention_forward(
         ),
         interpret=_interpret_default() if interpret is None else interpret,
     )(q, k, v)
-    return out, l, m
+    if save_stats:
+        return res
+    return res, None, None
 
 
 @functools.partial(
@@ -287,8 +310,11 @@ def _flash_attention_forward(
 def _flash_attention(
     q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret
 ):
+    # Primal (not-under-grad) path: skip the l/m stat outputs — they exist
+    # only for the backward kernels and cost real HBM write bandwidth.
     out, _, _ = _flash_attention_forward(
-        q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret
+        q, k, v, causal, sm_scale, kv_offset, block_q, block_k, interpret,
+        save_stats=False,
     )
     return out
 

@@ -31,6 +31,46 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# FP8 weight tiles: Mosaic lowers the native fp8->bf16 cast through f32-wide
+# VMEM intermediates (measured ~6x slower end-to-end on v5e, and >2MB tiles
+# fail to compile outright). Instead decode the bits on the VPU with i32
+# integer ops (i16 vector shifts don't legalize on Mosaic): shift the 7-bit
+# payload into the f32 exponent/mantissa fields, bitcast, and narrow to bf16.
+# The decoded value is the fp8 value times 2^(bias_fp8 - 127); the caller
+# folds the constant 2^(127 - bias) back in via the (already per-tile) scale
+# row. Exact for normals (the fp8 mantissa fits bf16's 8 bits); fp8
+# subnormals land below the f32/bf16 normal range and flush to zero — max abs
+# error 7*2^-9 on the e4m3 lattice, ~3e-5 of absmax, far below quantization
+# error. e4m3fn NaN (absent from absmax-clipped weights) decodes to a large
+# normal.
+#   e4m3fn: [s eeee mmm]  mantissa 3, bias 7   -> scale * 2^120
+#   e5m2:   [s eeeee mm]  mantissa 2, bias 15  -> scale * 2^112
+_FP8_SPECS = {
+    jnp.dtype(jnp.float8_e4m3fn): (3, 2.0**120),
+    jnp.dtype(jnp.float8_e5m2): (2, 2.0**112),
+}
+
+
+def _w_scale_fixup(qdtype) -> float:
+    """Constant to fold into the scale row when _load_w bit-decodes fp8."""
+    spec = _FP8_SPECS.get(jnp.dtype(qdtype))
+    return spec[1] if spec is not None else 1.0
+
+
+def _load_w(w: jax.Array) -> jax.Array:
+    """Weight tile -> bf16 for the MXU; fp8 via the bit-shift decode above
+    (value scaled by 2^-(127-bias), compensated in the scale row)."""
+    spec = _FP8_SPECS.get(jnp.dtype(w.dtype))
+    if spec is None:
+        return w.astype(jnp.bfloat16)  # int8 -> bf16 exact, native fast path
+    mbits, _ = spec
+    b = jax.lax.bitcast_convert_type(w, jnp.int8).astype(jnp.int32)
+    # Payload into f32 exponent/mantissa (shift 23 - mbits), sign bit 7 -> 31
+    # (<<24 wraps into the sign bit; shifts are bitwise).
+    bits = ((b & 0x7F) << (23 - mbits)) | ((b & 0x80) << 24)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32).astype(jnp.bfloat16)
+
+
 def _qmm_kernel(
     x_ref,  # [bm, bk] activations
     w_ref,  # [bk, bn] quantized weights
@@ -41,6 +81,7 @@ def _qmm_kernel(
     *,
     n_k: int,
     activation: Optional[str],
+    scale_fix: float = 1.0,
 ):
     ki = pl.program_id(2)
 
@@ -49,11 +90,14 @@ def _qmm_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]
-    w = w_ref[...].astype(jnp.bfloat16)  # int8 → bf16 exact
+    w = _load_w(w_ref[...])  # int8 exact; fp8 bit-decoded (scale_fix folds in)
     partial = jax.lax.dot(
         x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
-    acc_ref[...] += partial * s_ref[0][None, :]
+    s = s_ref[0]
+    if scale_fix != 1.0:
+        s = s * scale_fix
+    acc_ref[...] += partial * s[None, :]
 
     @pl.when(ki == n_k - 1)
     def _store():
@@ -94,10 +138,13 @@ def _quant_matmul_2d(
         ),
     ]
     args = [x, qt.q, qt.scale]
+    fix = _w_scale_fixup(qt.q.dtype)
     if bias is not None:
         in_specs.append(pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni)))
         args.append(bias.reshape(1, N).astype(jnp.float32))
-        kernel = functools.partial(_qmm_kernel, n_k=n_k, activation=activation)
+        kernel = functools.partial(
+            _qmm_kernel, n_k=n_k, activation=activation, scale_fix=fix
+        )
     else:
         kernel = functools.partial(
             lambda x_ref, w_ref, s_ref, o_ref, acc_ref, **kw: _qmm_kernel(
@@ -105,6 +152,7 @@ def _quant_matmul_2d(
             ),
             n_k=n_k,
             activation=activation,
+            scale_fix=fix,
         )
 
     return pl.pallas_call(
@@ -178,14 +226,12 @@ def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int,
 
 
 def _tile_budget(qdtype) -> int:
-    """fp8 weight tiles widen through f32-sized VMEM intermediates during
-    conversion (measured: a 2MB fp8 tile allocates ~20MB scoped VMEM);
-    quarter the per-tile byte budget to stay inside the ~16MB limit."""
-    return (
-        _DECODE_TILE_BYTES
-        if jnp.dtype(qdtype) == jnp.int8
-        else _DECODE_TILE_BYTES // 4
-    )
+    """Per-tile weight byte budget. fp8 tiles used to be quartered because the
+    native Mosaic fp8->bf16 cast widened through ~10x f32 VMEM intermediates;
+    the integer bit-decode in :func:`_load_w` removed that, so every 1-byte
+    dtype now streams with the full int8-sized budget."""
+    del qdtype
+    return _DECODE_TILE_BYTES
 
 
 # ---------------------------------------------------------------------------

@@ -218,3 +218,45 @@ class TestSlotRecyclingIntegrity:
         b2 = eng2.submit(_prompt(21, 9), max_new_tokens=6)
         eng2.run()
         assert b.output == b2.output
+
+
+class TestVariableChunk:
+    """Retiring requests must not burn full decode_chunk scans: when every
+    active slot is within `bound` tokens of its cap, the engine shrinks the
+    scan to the next power of two >= bound (engine.step)."""
+
+    def _engine(self, tiny_llama, **kw):
+        model, params = tiny_llama
+        cfg = dict(max_batch=2, max_len=64, prefill_buckets=(8, 16, 32, 64),
+                   decode_chunk=8, page_size=8)
+        cfg.update(kw)
+        return InferenceEngine(model, params, EngineConfig(**cfg))
+
+    def test_cap_bound_shrinks_overshoot(self, tiny_llama):
+        eng = self._engine(tiny_llama)
+        r = eng.submit(_prompt(40, 8), max_new_tokens=3)
+        eng.run()
+        assert len(r.output) == 3
+        # position advanced by the shrunken chunk (4 = next pow2 >= 3),
+        # not the configured 8; slot retired so check stats instead.
+        assert eng.stats["steps"] == 1
+
+    def test_mixed_caps_use_max_bound(self, tiny_llama):
+        """The chunk must cover the slowest-retiring active slot."""
+        eng = self._engine(tiny_llama)
+        r1 = eng.submit(_prompt(41, 8), max_new_tokens=2)
+        r2 = eng.submit(_prompt(42, 8), max_new_tokens=11)
+        eng.run()
+        assert len(r1.output) == 2 and len(r2.output) == 11
+        # steps: bound starts at 11 -> full chunk 8, then bound 3 -> chunk 4.
+        assert eng.stats["steps"] == 2
+
+    def test_output_identical_to_fixed_chunk(self, tiny_llama):
+        """Greedy output must not depend on the chunking schedule."""
+        outs = []
+        for chunk in (1, 8):
+            eng = self._engine(tiny_llama, decode_chunk=chunk)
+            r = eng.submit(_prompt(43, 8), max_new_tokens=9)
+            eng.run()
+            outs.append(list(r.output))
+        assert outs[0] == outs[1]

@@ -118,3 +118,43 @@ class TestRmsQuantLinearSwiglu:
             f(x).astype(jnp.float32),
             rms_quant_linear_swiglu(x, gamma, qt, eps=EPS).astype(jnp.float32),
         )
+
+
+class TestFusedKernelsFp8:
+    """The fused decode kernels must accept fp8 weights through the integer
+    bit-decode (_load_w + scale_fix) — the path the fp8 serving config runs."""
+
+    @pytest.mark.parametrize("qdt", ["fp8_e4m3", "fp8_e5m2"])
+    def test_rms_quant_linear(self, rng_key, qdt):
+        x, qt, gamma = _data(rng_key, 8, 512, 1024, qdtype=qdt)
+        out = rms_quant_linear(x, gamma, qt, eps=EPS)
+        ref = quant_linear_ref(rms_norm(x, gamma, EPS), qt)
+        rel = float(
+            jnp.linalg.norm(out.astype(jnp.float32) - ref.astype(jnp.float32))
+            / jnp.linalg.norm(ref.astype(jnp.float32))
+        )
+        assert rel < 0.015, rel
+
+    @pytest.mark.parametrize("qdt", ["fp8_e4m3", "fp8_e5m2"])
+    def test_quant_linear_residual(self, rng_key, qdt):
+        x, qt, _ = _data(rng_key, 8, 512, 512, qdtype=qdt)
+        out = quant_linear_residual(x, qt, x)
+        ref = quant_linear_ref(x, qt) + x.astype(jnp.float32)
+        rel = float(
+            jnp.linalg.norm(out.astype(jnp.float32) - ref.astype(jnp.float32))
+            / jnp.linalg.norm(ref.astype(jnp.float32))
+        )
+        assert rel < 0.015, rel
+
+    @pytest.mark.parametrize("qdt", ["fp8_e4m3", "fp8_e5m2"])
+    def test_rms_quant_linear_swiglu(self, rng_key, qdt):
+        x, qt, gamma = _data(rng_key, 8, 512, 2048, qdtype=qdt)
+        out = rms_quant_linear_swiglu(x, gamma, qt, eps=EPS)
+        gu = quant_linear_ref(rms_norm(x, gamma, EPS), qt)
+        g_, u_ = jnp.split(gu, 2, axis=-1)
+        ref = swiglu(g_, u_)
+        rel = float(
+            jnp.linalg.norm(out.astype(jnp.float32) - ref.astype(jnp.float32))
+            / jnp.linalg.norm(ref.astype(jnp.float32))
+        )
+        assert rel < 0.015, rel
