@@ -311,34 +311,83 @@ class InferenceEngine:
             k = self.spec_k
             V = model.config.vocab_size
 
-            @jax.jit
-            def draft_propose(dparams, dcache, tokens, positions):
-                def body(carry, _):
+            @functools.partial(jax.jit, donate_argnums=(1, 3))
+            def spec_round(params, pools, dparams, dcache, table, last_token,
+                           positions, key, greedy, temps):
+                """One batched speculative round, entirely on device.
+
+                greedy [B] bool / temps [B] f32 are per-row. Greedy rows
+                draft and accept by argmax (the stream provably equals the
+                target-only greedy stream); sampled rows run the standard
+                speculative-sampling rejection scheme — accept d_i with
+                prob min(1, p_i/q_i), replace the first rejection with a
+                sample from norm(relu(p - q)), bonus from p_k if all
+                accepted — so the emitted stream is distributed exactly as
+                target-only sampling. Returns (n_accepted [B], drafts
+                [B, k], replacement [B], pools, dcache).
+                """
+                B = last_token.shape[0]
+                t1 = jnp.maximum(temps, 1e-6)[:, None]
+                kd, ka, kr = jax.random.split(key, 3)
+
+                # --- 1. draft k proposals (per-row greedy or temp-sampled) ---
+                def body(carry, key_i):
                     toks, dcache, pos = carry
                     logits, dcache = dmodel.forward_with_cache_ragged(
                         dparams, toks, dcache, pos
                     )
-                    nxt = jnp.argmax(logits[:, -1, :V], -1).astype(jnp.int32)
-                    return (nxt[:, None], dcache, pos + 1), nxt
+                    logits = logits[:, -1, :V].astype(jnp.float32) / t1
+                    q = jax.nn.softmax(logits, -1)  # [B, V]
+                    samp = jax.random.categorical(key_i, logits, -1)
+                    nxt = jnp.where(greedy, jnp.argmax(logits, -1), samp)
+                    nxt = nxt.astype(jnp.int32)
+                    qv = jnp.take_along_axis(q, nxt[:, None], 1)[:, 0]
+                    return (nxt[:, None], dcache, pos + 1), (nxt, qv, q)
 
-                (_, dcache, _), drafts = jax.lax.scan(
-                    body, (tokens, dcache, positions), None, length=k
+                keys = jax.random.split(kd, k)
+                (_, dcache, _), (d_toks, q_of_d, qs) = jax.lax.scan(
+                    body, (last_token[:, None], dcache, positions), keys
                 )
-                return drafts.T, dcache  # [B, k]
+                d_toks = d_toks.T  # [B, k]
+                q_of_d = q_of_d.T  # [B, k]
+                qs = jnp.swapaxes(qs, 0, 1)  # [B, k, V]
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def verify(params, pools, table, tokens_k1, positions, key,
-                       temps):
-                logits, pools = model.forward_paged_chunk(
+                # --- 2. one target verify forward over [last, d_1..d_k] ---
+                tokens_k1 = jnp.concatenate([last_token[:, None], d_toks], 1)
+                t_logits, pools = model.forward_paged_chunk(
                     params, tokens_k1, pools, table, positions
                 )
-                logits = logits[..., :V].astype(jnp.float32)
-                tgt = jnp.argmax(logits, -1).astype(jnp.int32)  # [B, k+1]
-                scaled = logits[:, 0] / jnp.maximum(temps[:, None], 1e-6)
-                samp0 = jax.random.categorical(key, scaled, -1).astype(jnp.int32)
-                return tgt, samp0, pools
+                t_logits = t_logits[..., :V].astype(jnp.float32) / t1[..., None]
+                p = jax.nn.softmax(t_logits, -1)  # [B, k+1, V]
+                t_arg = jnp.argmax(t_logits, -1).astype(jnp.int32)  # [B, k+1]
+                p_of_d = jnp.take_along_axis(
+                    p[:, :k], d_toks[..., None], 2
+                )[..., 0]  # [B, k]
 
-            self._spec_fns = (draft_propose, verify)
+                # --- 3. per-row acceptance prefix ---
+                u = jax.random.uniform(ka, (B, k))
+                acc_samp = u < p_of_d / jnp.maximum(q_of_d, 1e-20)
+                acc = jnp.where(greedy[:, None], d_toks == t_arg[:, :k], acc_samp)
+                n = jnp.cumprod(acc.astype(jnp.int32), 1).sum(1)  # [B]
+
+                # --- 4. replacement (rejected at n) / bonus (n == k) token ---
+                p_n = jnp.take_along_axis(p, n[:, None, None], 1)[:, 0]  # [B, V]
+                q_n = jnp.take_along_axis(
+                    qs, jnp.minimum(n, k - 1)[:, None, None], 1
+                )[:, 0]
+                resid = jnp.maximum(p_n - q_n, 0.0)
+                resid_ok = resid.sum(-1, keepdims=True) > 1e-12
+                dist = jnp.where(
+                    (n == k)[:, None], p_n, jnp.where(resid_ok, resid, p_n)
+                )
+                t_samp = jax.random.categorical(
+                    kr, jnp.log(jnp.maximum(dist, 1e-30)), -1
+                )
+                t_rep = jnp.take_along_axis(t_arg, n[:, None], 1)[:, 0]
+                t_new = jnp.where(greedy, t_rep, t_samp).astype(jnp.int32)
+                return n, d_toks, t_new, pools, dcache
+
+            self._spec_fns = spec_round
         return self._spec_fns
 
     def _get_draft_prefill_fn(self, bucket: int):
@@ -347,19 +396,18 @@ class InferenceEngine:
             dmodel = self.config.draft_model
 
             @jax.jit
-            def prefill(dparams, dcache, tokens, slot_onehot):
-                _, upd = dmodel.forward_with_cache(
-                    dparams, tokens,
-                    jax.tree_util.tree_map(lambda c: c[:1], dcache), 0,
-                )
+            def prefill(dparams, dcache, tokens, slot_mask):
+                """Batched draft prefill: ONE forward over the whole slot
+                batch (tokens [max_batch, bucket]); rows outside
+                ``slot_mask`` keep their existing cache. Admission cost is
+                one draft forward per bucket group, not per request."""
+                _, upd = dmodel.forward_with_cache(dparams, tokens, dcache, 0)
 
-                def put(full, one):
-                    mask = (slot_onehot > 0)[:, None, None, None]
-                    return jnp.where(
-                        mask,
-                        jnp.broadcast_to(one, full.shape).astype(full.dtype),
-                        full,
+                def put(full, new):
+                    mask = (slot_mask > 0).reshape(
+                        (-1,) + (1,) * (full.ndim - 1)
                     )
+                    return jnp.where(mask, new.astype(full.dtype), full)
 
                 return jax.tree_util.tree_map(put, dcache, upd)
 
@@ -367,17 +415,13 @@ class InferenceEngine:
         return self._prefill_fns[key]
 
     def _spec_round(self, active: list[int], finished: list[Request]) -> None:
-        """One speculative round: draft k greedy proposals, verify them all
-        in one target forward, emit the accepted prefix + bonus token."""
+        """One speculative round: draft k proposals, verify them all in one
+        target forward, emit the accepted prefix + replacement/bonus token.
+        Sampled rows run full rejection sampling on device (the emitted
+        stream is distributed exactly as target-only sampling)."""
         c = self.config
         k = self.spec_k
-        draft_propose, verify = self._get_spec_fns()
-        tokens = jnp.asarray(self._last_token[:, None])
-        positions = jnp.asarray(self._positions)
-        drafts, self.draft_cache = draft_propose(
-            c.draft_params, self.draft_cache, tokens, positions
-        )
-        tokens_k1 = jnp.concatenate([tokens, drafts], axis=1)  # [B, k+1]
+        spec_round = self._get_spec_fns()
         for i in active:
             self.alloc.ensure(i, int(self._positions[i]) + k + 1)
         greedy = np.zeros((c.max_batch,), bool)
@@ -386,35 +430,29 @@ class InferenceEngine:
             s = self._slots[i].sampling
             greedy[i] = s.greedy or s.temperature == 0.0
             temps[i] = max(s.temperature, 1e-6)
+        positions = jnp.asarray(self._positions)
         self._rng, sub = jax.random.split(self._rng)
-        tgt, samp0, self.pools = verify(
-            self.params, self.pools, jnp.asarray(self.alloc.table),
-            tokens_k1, positions, sub, jnp.asarray(temps),
+        n, drafts, t_new, self.pools, self.draft_cache = spec_round(
+            self.params, self.pools, c.draft_params, self.draft_cache,
+            jnp.asarray(self.alloc.table), jnp.asarray(self._last_token),
+            positions, sub, jnp.asarray(greedy), jnp.asarray(temps),
         )
-        tgt_np = np.asarray(tgt)
-        samp0_np = np.asarray(samp0)
+        n_np = np.asarray(n)
         drafts_np = np.asarray(drafts)
+        t_new_np = np.asarray(t_new)
         for i in active:
             req = self._slots[i]
-            if greedy[i]:
-                a = 0
-                while a < k and drafts_np[i, a] == tgt_np[i, a]:
-                    a += 1
-                emit = [int(x) for x in drafts_np[i, :a]] + [int(tgt_np[i, a])]
-                self.stats["spec_proposed"] += k
-                self.stats["spec_accepted"] += a
-            else:
-                # Sampled request: one target token per round (the verify
-                # logits at index 0 are exactly the next-token distribution).
-                a = 0
-                emit = [int(samp0_np[i])]
+            a = int(n_np[i])
+            emit = [int(x) for x in drafts_np[i, :a]] + [int(t_new_np[i])]
+            self.stats["spec_proposed"] += k
+            self.stats["spec_accepted"] += a
             for t in emit:
                 if req.done:
                     break
                 self._emit(req, t)
                 self._maybe_finish(req, finished)
             if self._slots[i] is not None:
-                self._positions[i] = int(positions[i]) + a + 1
+                self._positions[i] = int(self._positions[i]) + a + 1
                 self._last_token[i] = emit[-1]
         self.stats["spec_rounds"] += 1
         self.stats["steps"] += 1
@@ -506,16 +544,16 @@ class InferenceEngine:
             jnp.asarray(true_len),
         )
         if self.spec_k:
-            # The draft model mirrors the prompt in its contiguous cache.
+            # The draft model mirrors the prompts in its contiguous cache:
+            # one batched draft forward per bucket group (not per request).
             draft_prefill = self._get_draft_prefill_fn(bucket)
+            mask = np.zeros((c.max_batch,), np.float32)
             for req in reqs:
-                onehot = np.zeros((c.max_batch,), np.float32)
-                onehot[req.slot] = 1.0
-                self.draft_cache = draft_prefill(
-                    c.draft_params, self.draft_cache,
-                    jnp.asarray(tokens[req.slot:req.slot + 1]),
-                    jnp.asarray(onehot),
-                )
+                mask[req.slot] = 1.0
+            self.draft_cache = draft_prefill(
+                c.draft_params, self.draft_cache,
+                jnp.asarray(tokens), jnp.asarray(mask),
+            )
         logits = np.asarray(logits)  # [max_batch, V] — one fetch per group
         V = self.model.config.vocab_size
         for req in reqs:

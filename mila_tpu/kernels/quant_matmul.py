@@ -202,8 +202,8 @@ def _pick_blocks(M: int, K: int, N: int, block_n: int, block_k: int,
 
     ``qblock`` (the quantization block size) caps bk: every K tile must see a
     single scale row, so bk must divide qblock as well as K. ``budget`` caps
-    bn*bk weight-tile bytes — fp8 tiles convert through wider VMEM
-    intermediates than int8, so their callers pass a halved budget.
+    bn*bk weight-tile bytes; all 1-byte dtypes (int8 and bit-decoded fp8)
+    stream with the same full budget — see :func:`_tile_budget`.
     """
     if M > 32:
         return block_n, block_k

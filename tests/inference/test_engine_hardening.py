@@ -237,8 +237,9 @@ class TestVariableChunk:
         r = eng.submit(_prompt(40, 8), max_new_tokens=3)
         eng.run()
         assert len(r.output) == 3
-        # position advanced by the shrunken chunk (4 = next pow2 >= 3),
-        # not the configured 8; slot retired so check stats instead.
+        # prefill already emitted token 1, so the remaining bound is 2 and
+        # the chunk shrinks to 2 (next pow2 >= 2), not the configured 8;
+        # slot retired so check stats instead.
         assert eng.stats["steps"] == 1
 
     def test_mixed_caps_use_max_bound(self, tiny_llama):
@@ -248,7 +249,9 @@ class TestVariableChunk:
         r2 = eng.submit(_prompt(42, 8), max_new_tokens=11)
         eng.run()
         assert len(r1.output) == 2 and len(r2.output) == 11
-        # steps: bound starts at 11 -> full chunk 8, then bound 3 -> chunk 4.
+        # prefill emits each row's first token, so decode bounds enter at
+        # 1 and 10: step 1 runs the full chunk 8 (bound 10 > 8), then the
+        # remaining bound 2 shrinks step 2 to chunk 2.
         assert eng.stats["steps"] == 2
 
     def test_output_identical_to_fixed_chunk(self, tiny_llama):

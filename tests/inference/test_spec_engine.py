@@ -113,9 +113,10 @@ class TestSpecEngine:
         spec_eng.run()
         assert r1.output == cut
 
-    def test_sampled_requests_fall_back(self, target, draft_same):
-        """Non-greedy requests still produce max_new tokens through the
-        verify path (one target sample per round)."""
+    def test_sampled_requests_speculate(self, target, draft_same):
+        """Non-greedy requests run full rejection sampling: with draft ==
+        target at temperature 1 the acceptance prob min(1, p/q) is ~1, so
+        sampled rows emit multiple tokens per round (not one)."""
         model, params = target
         dmodel, dparams = draft_same
         eng = InferenceEngine(
@@ -129,6 +130,33 @@ class TestSpecEngine:
         g = eng.submit(_prompt(41, 5), max_new_tokens=8)
         eng.run()
         assert len(r.output) == 8 and len(g.output) == 8
+        # Self-draft: both rows accept nearly everything (p == q up to the
+        # contiguous-vs-paged forward's bf16 accumulation noise), so the 14
+        # emitted decode tokens take far fewer than 14 rounds.
+        assert eng.stats["spec_accepted"] >= 0.5 * eng.stats["spec_proposed"]
+        assert eng.stats["spec_rounds"] <= 6
+
+    def test_sampled_mixed_temperatures(self, target, draft_other):
+        """Per-row temperatures: a hot sampled row, a cold one, and a greedy
+        row share rounds; each completes with the right token count and the
+        greedy row's stream still equals the target-only greedy stream."""
+        model, params = target
+        plain, _ = _run(model, params, [_prompt(42, 6)], 10)
+        dmodel, dparams = draft_other
+        eng = InferenceEngine(
+            model, params,
+            EngineConfig(max_batch=4, max_len=64, prefill_buckets=(8, 16),
+                         decode_chunk=4, page_size=8, speculative_k=2,
+                         draft_model=dmodel, draft_params=dparams),
+        )
+        g = eng.submit(_prompt(42, 6), max_new_tokens=10)
+        hot = eng.submit(_prompt(43, 6), max_new_tokens=10,
+                         sampling=SamplingConfig(greedy=False, temperature=1.5))
+        cold = eng.submit(_prompt(44, 6), max_new_tokens=10,
+                          sampling=SamplingConfig(greedy=False, temperature=0.2))
+        eng.run()
+        assert g.output == plain[0]
+        assert len(hot.output) == 10 and len(cold.output) == 10
 
     def test_spec_under_page_pressure(self, target, draft_other):
         model, params = target
