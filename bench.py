@@ -102,12 +102,16 @@ def bench_mnist_training() -> dict:
     }
 
 
-def bench_llama_decode(dtypes=("int8", "bf16", "fp8")) -> dict:
+def bench_llama_decode(dtypes=("int8", "bf16", "fp8", "int4")) -> dict:
     from benchmarks.llama_bench import bench_decode, build_model
 
     import mila_tpu
     from mila_tpu.inference.quantize import quantize_model_params
-    from mila_tpu.models.llama import add_quantized_lm_head, fuse_llama_projections
+    from mila_tpu.models.llama import (
+        add_quantized_lm_head,
+        fuse_llama_projections,
+        pack_decode_mlp,
+    )
 
     mila_tpu.initialize(0)
     model, params, cfg = build_model("1b", "bfloat16")
@@ -126,9 +130,9 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8")) -> dict:
                                               prompt_len=128)
             else:
                 qdt = "fp8_e4m3" if dt == "fp8" else dt
-                qparams = add_quantized_lm_head(
+                qparams = pack_decode_mlp(add_quantized_lm_head(
                     quantize_model_params(params, qdt), qdt
-                )
+                ))
                 detail[dt] = bench_decode(model, qparams, cfg, batch=8,
                                           prompt_len=128)
         except Exception as e:  # noqa: BLE001 - report per-dtype failures
@@ -269,6 +273,65 @@ def kernel_check() -> dict:
     qt8 = quantize(w, "fp8_e4m3")
     check("quant_matmul_fp8", quant_linear(x, qt8, interpret=False),
           quant_linear_ref(x, qt8))
+    # fp8 at the largest decode tile (1536x2048): guards VMEM regressions in
+    # the Mosaic bit-decode fusion that CPU interpret mode can't see
+    # (advisor r2 finding #3).
+    xl = jax.random.normal(key, (8, 2048), jnp.bfloat16)
+    wl = jax.random.normal(key, (2048, 129024)) * 0.02
+    qtl = quantize(wl, "fp8_e4m3")
+    check("quant_matmul_fp8_lm_head_tile",
+          quant_linear(xl, qtl, interpret=False)[:, ::1031],
+          quant_linear_ref(xl, qtl)[:, ::1031])
+
+    # MLP megakernel (manual DMA ring) at Llama-1B shapes
+    from mila_tpu.kernels.decode_mlp import (
+        mlp_block_fused, mlp_block_ref, pack_mlp,
+    )
+
+    H, I = 2048, 8192
+    att = jax.random.normal(key, (8, H), jnp.bfloat16)
+    xres = jax.random.normal(jax.random.fold_in(key, 11), (8, H), jnp.bfloat16)
+    gm = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 12), (H,))
+    wo_q = quantize(jax.random.normal(key, (H, H)) * 0.02, "int8")
+    wgu_q = quantize(jax.random.normal(key, (H, 2 * I)) * 0.02, "int8")
+    down_q = quantize(jax.random.normal(key, (I, H)) * 0.02, "int8")
+    mp = pack_mlp(wo_q, wgu_q, down_q)
+    check("mlp_megakernel",
+          mlp_block_fused(att, xres, gm, mp, interpret=False),
+          mlp_block_ref(att, xres, gm, wo_q, wgu_q, down_q),
+          rtol=6e-2, atol=6e-2)
+
+    # dense decode attention (manual KV slab ring)
+    from mila_tpu.kernels.dense_attention import dense_decode_attention
+    from mila_tpu.ops.attention import decode_attention as dec_ref
+
+    Bq, NKVq, NHq, Tq, HDq = 4, 4, 16, 256, 64
+    qd2 = jax.random.normal(key, (Bq, 1, NHq, HDq), jnp.bfloat16)
+    kc = jax.random.normal(jax.random.fold_in(key, 13),
+                           (Bq, NKVq, Tq, HDq), jnp.bfloat16)
+    vc = jax.random.normal(jax.random.fold_in(key, 14),
+                           (Bq, NKVq, Tq, HDq), jnp.bfloat16)
+    lens2 = jnp.array([5, 128, 200, 256], jnp.int32)
+    check("dense_decode_attention",
+          dense_decode_attention(qd2, kc, vc, lens2, interpret=False),
+          dec_ref(qd2.astype(jnp.float32),
+                  kc.transpose(0, 2, 1, 3).astype(jnp.float32),
+                  vc.transpose(0, 2, 1, 3).astype(jnp.float32), lens2),
+          rtol=2e-2, atol=2e-2)
+
+    # fused greedy head (argmax epilogue)
+    from mila_tpu.kernels.decode_fused import rms_quant_linear_argmax
+
+    wv = jax.random.normal(key, (512, 4096)) * 0.05
+    qtv = quantize(wv, "int8")
+    gmv = jnp.ones((512,), jnp.float32)
+    tok = rms_quant_linear_argmax(x, gmv, qtv, vocab_size=4000,
+                                  interpret=False)
+    logits_ref = quant_linear_ref(
+        rms_norm(x, gmv, 1e-5), qtv, compute_dtype=jnp.float32
+    ).astype(jnp.float32)[:, :4000]
+    check("rms_quant_linear_argmax", tok[:, 0].astype(jnp.float32),
+          jnp.argmax(logits_ref, -1).astype(jnp.float32), rtol=0, atol=0.5)
 
     # fused decode kernels
     gamma = 1.0 + 0.1 * jax.random.normal(key, (512,), jnp.float32)
@@ -358,7 +421,28 @@ def main() -> int:
         return 0
     if args.what in ("auto", "llama"):
         try:
-            print(json.dumps(bench_llama_decode()))
+            result = bench_llama_decode()
+            # Fold the self-grading suite into the one driver-visible JSON
+            # line: on-chip kernel-vs-oracle checks, flash prefill TFLOP/s,
+            # and paged-attention streaming (all cheap next to the llama
+            # bench thanks to the persistent compile cache).
+            for name, fn in (("kernel_check", kernel_check),
+                             ("flash", bench_flash_prefill),
+                             ("paged", bench_paged_decode)):
+                try:
+                    sub = fn()
+                    result["detail"][name] = {
+                        "value": sub["value"], "unit": sub["unit"],
+                        "vs_baseline": sub["vs_baseline"],
+                        **({"detail": sub["detail"]} if name != "kernel_check"
+                           else {}),
+                    }
+                except Exception as e:  # noqa: BLE001
+                    traceback.print_exc()
+                    result["detail"][name] = {
+                        "error": f"{type(e).__name__}: {e}"[:200]
+                    }
+            print(json.dumps(result))
             return 0
         except Exception:  # noqa: BLE001 - fall back to the MNIST metric
             if args.what == "llama":

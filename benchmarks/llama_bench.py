@@ -50,15 +50,25 @@ def build_model(scale: str, dtype: str):
 
 def scan_decode_fn(model):
     """Jitted greedy-decode loop with a *traced* step count: one compile
-    serves both timing lengths (remote compiles dominate bench wall time)."""
+    serves both timing lengths (remote compiles dominate bench wall time).
+
+    Uses the model's greedy step (argmax fused into the quantized lm_head
+    stream where available) — the production greedy path."""
+    step = getattr(model, "greedy_step_with_cache", None)
+
+    def plain_step(params, token, cache, pos):
+        logits, cache = model.forward_with_cache(params, token, cache, pos)
+        nxt = jnp.argmax(
+            logits[:, -1, : model.config.vocab_size], axis=-1
+        ).astype(jnp.int32)[:, None]
+        return nxt, cache
+
+    step = step or plain_step
 
     def run(params, first_token, cache, start_pos, steps):
         def body(_, carry):
             token, cache, pos, acc = carry
-            logits, cache = model.forward_with_cache(params, token, cache, pos)
-            nxt = jnp.argmax(
-                logits[:, -1, : model.config.vocab_size], axis=-1
-            ).astype(jnp.int32)[:, None]
+            nxt, cache = step(params, token, cache, pos)
             return (nxt, cache, pos + 1, acc + nxt[:, 0].sum())
 
         tok, cache, _, acc = jax.lax.fori_loop(

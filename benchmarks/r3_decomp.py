@@ -79,15 +79,17 @@ def main():
     )
     print(f"logits argmax:                         {t*1e6:7.1f} us", flush=True)
 
-    # --- embedding gather ---
+    # --- embedding gather (wte passed as an argument: a closed-over device
+    # array is baked into the jaxpr as a 525MB constant, which overflows the
+    # tunnel's compile-request limit) ---
     wte = jax.random.normal(key, (128256, H), jnp.bfloat16)
     tok = jnp.zeros((B, 1), jnp.int32)
 
-    def emb(tok):
+    def emb(tok, wte):
         x = jnp.take(wte, tok, axis=0)
         return (tok + (x.sum() * 1e-20).astype(jnp.int32))
 
-    t = timed_loop(emb, tok)
+    t = timed_loop(emb, tok, wte)
     print(f"embed gather:                          {t*1e6:7.1f} us", flush=True)
 
 

@@ -163,6 +163,152 @@ def rms_quant_linear(
 
 
 # ---------------------------------------------------------------------------
+# rms_quant_linear_argmax: greedy head — token = argmax(rmsnorm(x) @ W) with
+# the argmax fused into the weight-stream epilogue. XLA's argmax over a
+# [B, 129k] logits row costs ~62 us on v5e (benchmarks/r3_decomp.py); here
+# each N tile updates a running (max, index) pair in VMEM for ~nothing, and
+# the [B, vocab] logits never round-trip HBM.
+# ---------------------------------------------------------------------------
+
+def _rms_qmm_argmax_kernel(
+    x_ref,  # [M, K] resident activations
+    g_ref,  # [1, K] f32 gamma
+    w_ref,  # [bk, bn]
+    s_ref,  # [1, bn] scale row
+    o_ref,  # [M, 1] int32 token ids
+    acc_ref,  # VMEM [M, bn] f32
+    bv_ref,  # VMEM [M, 1] f32 running best value
+    bi_ref,  # VMEM [M, 1] int32 running best index
+    *,
+    n_k: int,
+    n_n: int,
+    block_n: int,
+    block_k: int,
+    vocab: int,
+    eps: float,
+    scale_fix: float = 1.0,
+):
+    ni = pl.program_id(0)
+    ki = pl.program_id(1)
+
+    @pl.when((ni == 0) & (ki == 0))
+    def _init_best():
+        bv_ref[...] = jnp.full(bv_ref.shape, -jnp.inf, jnp.float32)
+        bi_ref[...] = jnp.zeros(bi_ref.shape, jnp.int32)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    rstd = _rstd(x_ref[...].astype(jnp.float32), eps)
+    xt = x_ref[:, pl.ds(ki * block_k, block_k)].astype(jnp.float32)
+    gt = g_ref[0, pl.ds(ki * block_k, block_k)]
+    xs = xt * rstd * gt[None, :]
+    w = _load_w(w_ref[...])
+    partial = jax.lax.dot(
+        xs.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
+    s = s_ref[0]
+    if scale_fix != 1.0:
+        s = s * scale_fix
+    acc_ref[...] += partial * s[None, :]
+
+    @pl.when(ki == n_k - 1)
+    def _update_best():
+        logits = acc_ref[...]  # [M, bn] f32
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1) + ni * block_n
+        logits = jnp.where(col < vocab, logits, -jnp.inf)  # padded vocab tail
+        val = jnp.max(logits, axis=1, keepdims=True)
+        idx = jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None] + ni * block_n
+        better = val > bv_ref[...]  # strict: first occurrence wins ties
+        bv_ref[...] = jnp.where(better, val, bv_ref[...])
+        bi_ref[...] = jnp.where(better, idx, bi_ref[...])
+
+        @pl.when(ni == n_n - 1)
+        def _store():
+            o_ref[...] = bi_ref[...]
+
+
+def rms_quant_linear_argmax(
+    x: jax.Array,
+    gamma: jax.Array,
+    qt: QTensor,
+    *,
+    vocab_size: int,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> Optional[jax.Array]:
+    """Greedy-decode head: argmax over rmsnorm(x, gamma) @ dequant(qt),
+    argmax fused into the stream. Returns [..., 1] int32 token ids, or None
+    when the shape doesn't fit the decode kernel (caller falls back to
+    rms_quant_linear + jnp.argmax).
+
+    The running max compares exact f32 accumulator values (the unfused path
+    argmaxes bf16-rounded logits — near-ties can differ; f32 is the more
+    faithful greedy decision).
+    """
+    K, N = qt.q.shape
+    orig_shape = x.shape
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    bn, bk = _pick_blocks(M, K, N, 1024, 512, qt.block_size,
+                          budget=_tile_budget(qt.q.dtype))
+    while N % bn:
+        bn //= 2
+    while K % bk or qt.block_size % bk:
+        bk //= 2
+    ok = (
+        M <= 32
+        and bn >= 128
+        and bk >= 128
+        and M * K * 2 <= _X_RESIDENT_BYTES
+        and jnp.dtype(qt.q.dtype).itemsize == 1
+        and not qt.packed_rows
+        and vocab_size <= N
+    )
+    if not ok:
+        return None
+
+    n_k = K // bk
+    n_n = N // bn
+    out = pl.pallas_call(
+        functools.partial(
+            _rms_qmm_argmax_kernel, n_k=n_k, n_n=n_n, block_n=bn, block_k=bk,
+            vocab=vocab_size, eps=eps, scale_fix=_w_scale_fixup(qt.q.dtype),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, 1), jnp.int32),
+        grid=(n_n, n_k),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((1, K), lambda ni, ki: (0, 0)),
+            pl.BlockSpec((bk, bn), lambda ni, ki: (ki, ni)),
+            pl.BlockSpec(
+                (1, bn),
+                lambda ni, ki, _bk=bk, _qb=qt.block_size: ((ki * _bk) // _qb, ni),
+            ),
+        ],
+        out_specs=pl.BlockSpec((M, 1), lambda ni, ki: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((M, bn), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # The argmax accumulates across N tiles: both axes sequential.
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N * qt.q.dtype.itemsize + M * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret_default() if interpret is None else interpret,
+    )(x2, gamma.reshape(1, K).astype(jnp.float32), qt.q, qt.scale)
+    return out.reshape(*orig_shape[:-1], 1)
+
+
+# ---------------------------------------------------------------------------
 # quant_linear_residual: y = x @ dequant(W) + res
 # ---------------------------------------------------------------------------
 

@@ -175,6 +175,17 @@ class LlamaBlock(CompositeModule):
     def _finish_attn(self, params, x, att):
         B, T = att.shape[:2]
         if self._fused_decode(params, x):
+            if "mlp_pack" in params:
+                # Whole-MLP megakernel: wo+residual -> RMSNorm -> gate|up ->
+                # SwiGLU -> down+residual as ONE uninterrupted weight stream
+                # (kernels/decode_mlp.py; r3 fix for the per-matmul pipeline
+                # prologue losses on the small wo/down matrices).
+                from mila_tpu.kernels.decode_mlp import mlp_block_fused
+
+                return mlp_block_fused(
+                    att.reshape(B, T, -1), x, params["ln_mlp"]["gamma"],
+                    params["mlp_pack"], eps=self.cfg.rms_eps,
+                )
             from mila_tpu.kernels.decode_fused import (
                 quant_linear_residual,
                 rms_quant_linear_swiglu,
@@ -214,28 +225,41 @@ class LlamaBlock(CompositeModule):
         return self._finish_attn(params, x, att)
 
     def apply_with_cache(self, params, x, cache, pos, cos, sin):
-        """Incremental step: x [B,t,H] at absolute position pos."""
+        """Incremental step: x [B,t,H] at absolute position pos.
+
+        Cache layout is head-major [B, NKV, maxT, HD] (see init_kv_cache):
+        a T-chunk slab is one strided DMA for the Pallas dense decode
+        attention kernel, and the new token inserts with a single
+        dynamic_update_slice.
+        """
         q, k, v = self._qkv(params, x)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
+            cache["k"], k.transpose(0, 2, 1, 3).astype(cache["k"].dtype),
+            (0, 0, pos, 0),
         )
         v_cache = jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
+            cache["v"], v.transpose(0, 2, 1, 3).astype(cache["v"].dtype),
+            (0, 0, pos, 0),
         )
         B, t = x.shape[:2]
         total = pos + t
         if t == 1:
-            att = ops.decode_attention(
+            from mila_tpu.kernels.dense_attention import dense_decode_attention
+
+            att = dense_decode_attention(
                 q, k_cache, v_cache, jnp.full((B,), total, jnp.int32)
             )
         else:
-            maxT = k_cache.shape[1]
+            maxT = k_cache.shape[2]
             kj = jax.lax.broadcasted_iota(jnp.int32, (t, maxT), 1)
             qi = jax.lax.broadcasted_iota(jnp.int32, (t, maxT), 0) + pos
             mask = (kj <= qi)[None].repeat(B, 0)
-            att = ops.dot_product_attention(q, k_cache, v_cache, causal=False, mask=mask)
+            att = ops.dot_product_attention(
+                q, k_cache.transpose(0, 2, 1, 3), v_cache.transpose(0, 2, 1, 3),
+                causal=False, mask=mask,
+            )
         return self._finish_attn(params, x, att), {"k": k_cache, "v": v_cache}
 
     def output_shape(self, input_shape):
@@ -261,6 +285,36 @@ def fuse_llama_projections(params: dict) -> dict:
         b["wgu"] = {"weight": wgu}
         for k in ("wq", "wk", "wv", "gate", "up"):
             del b[k]
+        out[name] = b
+    return out
+
+
+def pack_decode_mlp(params: dict, *, bn: int = 2048) -> dict:
+    """Add the whole-MLP megakernel weight pack (``mlp_pack``) to every
+    quantized block. Run AFTER fuse_llama_projections + quantize_model_params.
+
+    The original wo/wgu/down QTensors stay in the pytree — prefill (M > 32)
+    still uses the per-matmul kernels — so the packed copy costs one extra
+    int8 image of those three weights in HBM (~55MB/layer for Llama-1B), the
+    standard decode/prefill weight-specialization trade.
+    """
+    from mila_tpu.inference.quantize import QTensor
+    from mila_tpu.kernels.decode_mlp import pack_mlp
+
+    out = dict(params)
+    for name, blk in params.items():
+        if not (isinstance(blk, dict) and "wgu" in blk and "wo" in blk):
+            continue
+        wo = blk["wo"].get("weight")
+        wgu = blk["wgu"].get("weight")
+        down = blk["down"].get("weight")
+        if not all(isinstance(w, QTensor) for w in (wo, wgu, down)):
+            continue
+        pack = pack_mlp(wo, wgu, down, bn=bn)
+        if pack is None:
+            continue
+        b = dict(blk)
+        b["mlp_pack"] = pack
         out[name] = b
     return out
 
@@ -357,6 +411,32 @@ class Llama(CompositeModule):
         x = self.get("norm_f").apply(params["norm_f"], x)
         return self._logits(params, x)
 
+    def greedy_step_with_cache(self, params, tokens, cache, pos):
+        """Greedy decode step: returns (next_token [B,1] int32, new_cache).
+
+        At decode shapes with a quantized head the argmax fuses into the
+        lm_head weight stream (kernels/decode_fused.rms_quant_linear_argmax)
+        — the [B, vocab] logits never round-trip HBM and the ~62us XLA
+        argmax disappears. Falls back to forward_with_cache + argmax.
+        """
+        cfg: LlamaConfig = self.config
+        B, t = tokens.shape
+        if "lm_head_q" in params and B * t <= 32:
+            from mila_tpu.kernels.decode_fused import rms_quant_linear_argmax
+
+            x, new_cache = self._backbone_with_cache(params, tokens, cache, pos)
+            tok = rms_quant_linear_argmax(
+                x[:, -1:, :], params["norm_f"]["gamma"], params["lm_head_q"],
+                vocab_size=cfg.vocab_size, eps=cfg.rms_eps,
+            )
+            if tok is not None:
+                return tok.reshape(B, 1), new_cache
+            logits = self._norm_logits(params, x[:, -1:, :])
+        else:
+            logits, new_cache = self.forward_with_cache(params, tokens, cache, pos)
+        nxt = jnp.argmax(logits[:, -1, : cfg.vocab_size], axis=-1)
+        return nxt.astype(jnp.int32)[:, None], new_cache
+
     def apply(self, params, tokens, *, training=False, rngs=None):
         cfg: LlamaConfig = self.config
         B, T = tokens.shape
@@ -376,15 +456,18 @@ class Llama(CompositeModule):
     def init_kv_cache(self, batch_size: int, max_len: int = 0, dtype=jnp.bfloat16) -> dict:
         cfg: LlamaConfig = self.config
         maxT = max_len or min(cfg.max_seq_len, 4096)
+        # Head-major layout [B, NKV, maxT, HD]: single-DUS token insert and
+        # one strided DMA per T-slab in kernels/dense_attention.py.
         return {
             f"h{i}": {
-                "k": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
-                "v": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
+                "k": jnp.zeros((batch_size, cfg.num_kv_heads, maxT, cfg.hd), dtype),
+                "v": jnp.zeros((batch_size, cfg.num_kv_heads, maxT, cfg.hd), dtype),
             }
             for i in range(cfg.num_layers)
         }
 
-    def forward_with_cache(self, params, tokens, cache, pos):
+    def _backbone_with_cache(self, params, tokens, cache, pos):
+        """Embed + decoder stack (no head): returns (x [B,t,H], new_cache)."""
         cfg: LlamaConfig = self.config
         B, t = tokens.shape
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)
@@ -395,6 +478,10 @@ class Llama(CompositeModule):
             x, new_cache[f"h{i}"] = self.get(f"h{i}").apply_with_cache(
                 params[f"h{i}"], x, cache[f"h{i}"], pos, cos, sin
             )
+        return x, new_cache
+
+    def forward_with_cache(self, params, tokens, cache, pos):
+        x, new_cache = self._backbone_with_cache(params, tokens, cache, pos)
         return self._norm_logits(params, x), new_cache
 
     # --- paged KV-cache path (engine default; BASELINE "paged BF16 KV") ---
@@ -529,13 +616,15 @@ class Llama(CompositeModule):
             q, k, v = blk._qkv(bp, x)
             q = ops.apply_rope(q, cos, sin)
             k = ops.apply_rope(k, cos, sin)
-            k_cache = lcache["k"].at[rows, positions].set(
+            k_cache = lcache["k"].at[rows, :, positions].set(
                 k[:, 0].astype(lcache["k"].dtype)
             )
-            v_cache = lcache["v"].at[rows, positions].set(
+            v_cache = lcache["v"].at[rows, :, positions].set(
                 v[:, 0].astype(lcache["v"].dtype)
             )
-            att = ops.decode_attention(
+            from mila_tpu.kernels.dense_attention import dense_decode_attention
+
+            att = dense_decode_attention(
                 q, k_cache, v_cache, (positions + 1).astype(jnp.int32)
             )
             x = blk._finish_attn(bp, x, att)

@@ -85,6 +85,16 @@ def dot_product_attention(
         raise ValueError(f"num_heads {NH} not divisible by num_kv_heads {NKV}")
     group = NH // NKV
     scale = 1.0 / math.sqrt(HS) if scale is None else scale
+    if jax.default_backend() == "cpu" and jnp.bfloat16 in (q.dtype, k.dtype):
+        # CPU oracle: XLA's CPU DotThunk can't execute bf16 x bf16 -> f32
+        # contractions it fails to rewrite (seen with transposed KV layouts);
+        # upcast — the oracle is about values, not dtype flow.
+        out = dot_product_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32), causal=causal, scale=scale, mask=mask,
+            kv_offset=kv_offset,
+        )
+        return out.astype(q.dtype)
 
     qg = q.reshape(B, Tq, NKV, group, HS)
     # scores: [B, NKV, group, Tq, Tkv]
@@ -153,6 +163,14 @@ def decode_attention(
     B, _, NH, HS = q.shape
     maxT = k_cache.shape[1]
     scale = 1.0 / math.sqrt(HS) if scale is None else scale
+    if jax.default_backend() == "cpu" and jnp.bfloat16 in (
+        q.dtype, k_cache.dtype
+    ):
+        # See dot_product_attention: CPU bf16 dot thunk limitation.
+        return decode_attention(
+            q.astype(jnp.float32), k_cache.astype(jnp.float32),
+            v_cache.astype(jnp.float32), cache_len, scale=scale,
+        ).astype(q.dtype)
     NKV = k_cache.shape[2]
     group = NH // NKV
     qg = q.reshape(B, 1, NKV, group, HS)

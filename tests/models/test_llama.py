@@ -158,6 +158,35 @@ class TestFusedProjections:
         l2, _ = model.forward_with_cache(fused, toks, cache2, 0)
         np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
 
+    def test_mlp_pack_decode_matches(self, tiny_llama):
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.llama import fuse_llama_projections, pack_decode_mlp
+
+        model, params, cfg = tiny_llama
+        fused_q = quantize_model_params(
+            fuse_llama_projections(params), "int8", min_size=1024
+        )
+        packed = pack_decode_mlp(fused_q)
+        assert "mlp_pack" in packed["h0"]
+        toks = jnp.array([[2, 4, 6], [1, 3, 5]], jnp.int32)
+        cache1 = model.init_kv_cache(2, 16, jnp.float32)
+        cache2 = model.init_kv_cache(2, 16, jnp.float32)
+        l1, c1 = model.forward_with_cache(fused_q, toks, cache1, 0)
+        l2, c2 = model.forward_with_cache(packed, toks, cache2, 0)
+        # Prefill (M > 32 threshold not hit here: 2*3=6 <= 32 uses the fused
+        # decode path in both) — compare decode steps too.
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+        nxt = jnp.array([[7], [9]], jnp.int32)
+        d1, _ = model.forward_with_cache(fused_q, nxt, c1, 3)
+        d2, _ = model.forward_with_cache(packed, nxt, c2, 3)
+        np.testing.assert_allclose(
+            np.asarray(d1, np.float32), np.asarray(d2, np.float32),
+            rtol=2e-2, atol=2e-2,
+        )
+
     def test_quantized_lm_head(self, tiny_llama):
         from mila_tpu.models.llama import add_quantized_lm_head
 
