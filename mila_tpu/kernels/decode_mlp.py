@@ -63,6 +63,15 @@ class MLPPack(NamedTuple):
     n_down: int  # (I // bk) * (H // bn)
 
 
+# The int fields are shape-static (they parameterize the kernel): keep them
+# in pytree aux data so jit doesn't trace them (same pattern as QTensor).
+jax.tree_util.register_pytree_node(
+    MLPPack,
+    lambda t: ((t.w, t.s), tuple(t[2:])),
+    lambda aux, leaves: MLPPack(leaves[0], leaves[1], *aux),
+)
+
+
 def pack_mlp(
     wo: QTensor, wgu: QTensor, down: QTensor, *, bn: int = 2048
 ) -> Optional[MLPPack]:

@@ -97,8 +97,9 @@ def llama_param_specs(params: Any) -> Any:
 
 
 def kv_cache_specs(cache: Any) -> Any:
-    """KV cache [B, T, NKV, HS]: batch on 'data', heads on 'model'."""
-    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS, None, MODEL_AXIS, None), cache)
+    """Head-major KV cache [B, NKV, T, HD]: batch on 'data', heads on
+    'model' (matches Llama.init_kv_cache's layout)."""
+    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS, MODEL_AXIS, None, None), cache)
 
 
 def batch_specs(batch: Any) -> Any:

@@ -64,6 +64,53 @@ WORKER = textwrap.dedent(
     # Ranks stride disjoint rows -> the global sum covers 8 distinct rows of
     # the 16-row dataset; both processes must agree on the reduced value.
     print(f"MHOK {pid} {total}", flush=True)
+
+    # --- TP collectives ACROSS the process boundary (BASELINE config 5) ---
+    # Mesh axes ("model", "data") over the same device array: the model (TP)
+    # axis now pairs device 0 (host 0) with device 2 (host 1), so every
+    # row-parallel matmul's psum rides the gloo DCN link.
+    from mila_tpu.models.llama import Llama, LlamaConfig
+    from mila_tpu.parallel import (
+        kv_cache_specs, llama_param_specs, shard_tree,
+    )
+    from mila_tpu.parallel.ring_attention import ring_attention
+
+    tp_mesh = Mesh(np.array(jax.devices()).reshape(2, 2), ("model", "data"))
+    model = Llama(LlamaConfig.tiny(vocab_size=64))
+    params = model.init(jax.random.key(0), (2, 8))
+    sparams = shard_tree(tp_mesh, params, llama_param_specs(params))
+    cache = model.init_kv_cache(2, 16, jnp.float32)
+    scache = shard_tree(tp_mesh, cache, kv_cache_specs(cache))
+    toks = jnp.arange(16, dtype=jnp.int32).reshape(2, 8) % 64
+
+    with tp_mesh:
+        logits, scache = jax.jit(
+            lambda p, t, c: model.forward_with_cache(p, t, c, 0)
+        )(sparams, toks, scache)
+        nxt = jnp.argmax(logits[:, -1:, :], -1).astype(jnp.int32)
+        # One decode step over the sharded cache: wq/wk/wv column-sharded on
+        # tp, wo/down row-sharded -> psum over tp crosses the two processes.
+        logits2, _ = jax.jit(
+            lambda p, t, c: model.forward_with_cache(p, t, c, 8)
+        )(sparams, nxt, scache)
+        val = float(jnp.sum(jnp.abs(logits2)))
+    assert np.isfinite(val)
+    print(f"TPOK {pid} {val:.6f}", flush=True)
+
+    # Ring-attention prefill over the cross-host mesh (sequence sharded on
+    # the cross-host axis): ppermute hops cross the process boundary each
+    # ring step.
+    B, T, NH, D = 2, 8, 2, 4
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(k1, (B, T, NH, D), jnp.float32)
+    k = jax.random.normal(k2, (B, T, NH, D), jnp.float32)
+    v = jax.random.normal(k3, (B, T, NH, D), jnp.float32)
+    ring = ring_attention(q, k, v, tp_mesh, seq_axis="model", causal=True)
+    from mila_tpu.ops.attention import dot_product_attention
+    ref = dot_product_attention(q, k, v, causal=True)
+    err = float(jnp.max(jnp.abs(ring - ref)))
+    assert err < 1e-4, err
+    print(f"RINGOK {pid} {err:.2e}", flush=True)
     """
 )
 
@@ -96,15 +143,25 @@ def test_two_process_cpu_cluster(tmp_path):
         out, _ = p.communicate(timeout=150)
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out}"
-    vals = {}
+    vals, tp_vals, ring_ranks = {}, {}, set()
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MHOK"):
                 _, pid, total = line.split()
                 vals[int(pid)] = float(total)
+            elif line.startswith("TPOK"):
+                _, pid, v = line.split()
+                tp_vals[int(pid)] = float(v)
+            elif line.startswith("RINGOK"):
+                ring_ranks.add(int(line.split()[1]))
     assert set(vals) == {0, 1}, f"missing rank output: {outs}"
     # Both hosts agree on the cross-host reduction.
     assert vals[0] == vals[1]
+    # TP decode crossed the process boundary and both ranks agree.
+    assert set(tp_vals) == {0, 1}, f"missing TP output: {outs}"
+    assert tp_vals[0] == tp_vals[1]
+    # Ring attention matched the dense oracle on both ranks.
+    assert ring_ranks == {0, 1}, f"missing ring output: {outs}"
     # Value check: ArrayReader strides rank 0 -> rows 0..3? rank 1 -> next 4.
     # Whatever the striding order, the 8 selected rows are disjoint, so the
     # sum differs from double-counting one rank's rows.
