@@ -110,7 +110,7 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8", "int4")) -> dict:
     from mila_tpu.models.llama import (
         add_quantized_lm_head,
         fuse_llama_projections,
-        pack_decode_mlp,
+        pack_decode_layers,
     )
 
     mila_tpu.initialize(0)
@@ -130,7 +130,7 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8", "int4")) -> dict:
                                               prompt_len=128)
             else:
                 qdt = "fp8_e4m3" if dt == "fp8" else dt
-                qparams = pack_decode_mlp(add_quantized_lm_head(
+                qparams = pack_decode_layers(add_quantized_lm_head(
                     quantize_model_params(params, qdt), qdt
                 ))
                 detail[dt] = bench_decode(model, qparams, cfg, batch=8,
@@ -301,23 +301,32 @@ def kernel_check() -> dict:
           mlp_block_ref(att, xres, gm, wo_q, wgu_q, down_q),
           rtol=6e-2, atol=6e-2)
 
-    # dense decode attention (manual KV slab ring)
+    # dense decode attention (manual KV slab ring, token-major cache)
     from mila_tpu.kernels.dense_attention import dense_decode_attention
     from mila_tpu.ops.attention import decode_attention as dec_ref
 
     Bq, NKVq, NHq, Tq, HDq = 4, 4, 16, 256, 64
     qd2 = jax.random.normal(key, (Bq, 1, NHq, HDq), jnp.bfloat16)
     kc = jax.random.normal(jax.random.fold_in(key, 13),
-                           (Bq, NKVq, Tq, HDq), jnp.bfloat16)
+                           (Bq, Tq, NKVq, HDq), jnp.bfloat16)
     vc = jax.random.normal(jax.random.fold_in(key, 14),
-                           (Bq, NKVq, Tq, HDq), jnp.bfloat16)
+                           (Bq, Tq, NKVq, HDq), jnp.bfloat16)
     lens2 = jnp.array([5, 128, 200, 256], jnp.int32)
     check("dense_decode_attention",
           dense_decode_attention(qd2, kc, vc, lens2, interpret=False),
-          dec_ref(qd2.astype(jnp.float32),
-                  kc.transpose(0, 2, 1, 3).astype(jnp.float32),
-                  vc.transpose(0, 2, 1, 3).astype(jnp.float32), lens2),
+          dec_ref(qd2.astype(jnp.float32), kc.astype(jnp.float32),
+                  vc.astype(jnp.float32), lens2),
           rtol=2e-2, atol=2e-2)
+
+    # layer-tail megakernel (wo|rms|swiglu|down + next wqkv in one stream)
+    from mila_tpu.kernels.layer_fused import mlp_qkv_fused, pack_layer
+
+    wqkv_q = quantize(jax.random.normal(key, (2048, 3072)) * 0.02, "int8")
+    lp = pack_layer(wo_q, wgu_q, down_q, wqkv_q, bn=512)
+    xo_f, qkv_f = mlp_qkv_fused(att, xres, gm, lp, gm, interpret=False)
+    xo_r, qkv_r = mlp_qkv_fused(att, xres, gm, lp, gm, interpret=True)
+    check("layer_tail_megakernel", xo_f, xo_r, rtol=6e-2, atol=6e-2)
+    check("layer_tail_qkv", qkv_f, qkv_r, rtol=8e-2, atol=8e-2)
 
     # fused greedy head (argmax epilogue)
     from mila_tpu.kernels.decode_fused import rms_quant_linear_argmax

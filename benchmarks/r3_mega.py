@@ -26,8 +26,8 @@ def bench_attn(batch):
     key = jax.random.key(0)
     B, NKV, NH, T, HD = batch, 8, 32, 512, 64
     q = jax.random.normal(key, (B, 1, NH, HD), jnp.bfloat16)
-    kc = jax.random.normal(key, (B, NKV, T, HD), jnp.bfloat16)
-    vc = jax.random.normal(key, (B, NKV, T, HD), jnp.bfloat16)
+    kc = jax.random.normal(key, (B, T, NKV, HD), jnp.bfloat16)
+    vc = jax.random.normal(key, (B, T, NKV, HD), jnp.bfloat16)
     lens = jnp.full((B,), T, jnp.int32)
     for bt in (128, 256, 512):
         t0 = time.time()

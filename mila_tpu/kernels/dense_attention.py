@@ -4,31 +4,24 @@ The XLA decode attention (ops.decode_attention) reads the dense cache at
 ~464 GB/s (benchmarks/r3_decomp.py) — the einsum materializes [B, NKV, G, T]
 scores through HBM. This kernel streams the cache through VMEM once, with a
 manual double-buffered DMA ring over T-chunks, and keeps every intermediate
-in registers/VMEM. The per-token engine path keeps the paged kernel
-(kernels/paged_attention.py); this one serves the dense-cache decode loop
-(models forward_with_cache — the continuous-batching-free BASELINE bench
-path and Generator).
+in registers/VMEM.
 
-GQA without relayouts: per sequence, scores are computed for EVERY
-(query-head, kv-head) pair in one MXU dot — q [NH, HD] x kv-slab
-[NKV*bt, HD]^T -> [NH, NKV*bt] — and the non-matching (n, h != kv(n)) pairs
-are masked to -inf BEFORE the online softmax. Their probabilities exp to
-exactly 0, so the AV dot over the full slab contracts to the block-diagonal
-result with zero gather/slice work. The 8x FLOP overcount is free: decode
-attention is KV-bandwidth-bound, the MXU idles either way.
+Cache layout is TOKEN-major [B, T, NKV, HD] — the same layout the model
+writes, so the per-token cache insert is one contiguous
+dynamic_update_slice (the r3 head-major experiment made the insert a
+64-lane strided scatter that cost ~64us/layer in XLA). The kernel views the
+cache as [B, T, NKV*HD] (a free row-major reshape): a T-slab
+cache[:, t0:t0+bt] is one DMA with a fully 128-aligned minor dim, which is
+also the only slab shape Mosaic's memref slicing accepts for HD < 128.
 
-Lane packing for HD < 128: Mosaic requires any ds-sliced memref's minor dim
-to be a multiple of the 128-lane tile, so a [.., T, 64] cache cannot be
-slab-sliced at all. The kernel therefore takes the cache as
-[B, NKV, T/r, r*HD] (r = 128 // HD, a FREE row-major reshape at the call
-site): r consecutive tokens share one 128-lane row. Inside, the r token
-interleaves are split at the VALUE level (lane slices of loaded vectors,
-which Mosaic does support) into r separate [NKV*bt/r, HD] operands — the
-online softmax doesn't care that token order within a block is deinterleaved
-as long as the position masks follow (col_t = r*row + interleave).
-
-Cache layout [B, NKV, T, HD]: the new token's k/v insert with a single
-dynamic_update_slice (no transpose), and a T-chunk slab is one strided DMA.
+GQA without relayouts — lane-packed queries: the caller provides
+q_pk [B, NH, NKV*HD] where query head n carries its q vector in the lane
+range of its kv head (kv(n) = n // group) and ZEROS elsewhere. One MXU dot
+q_pk[b] @ slab^T then contracts the full NKV*HD lanes: foreign heads'
+lanes contribute exactly 0, so scores [NH, bt] are the true per-head
+logits with NO head masking and NO 8x softmax overcount. The pv dot
+produces [NH, NKV*HD] whose valid lanes are selected per head with 0/1
+indicator rows at the end (8 lane-slices, VPU-cheap).
 
 Correctness oracle: ops.decode_attention (tests/kernels/test_dense_attention.py).
 """
@@ -51,19 +44,31 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def pack_queries(q: jax.Array, nkv: int) -> jax.Array:
+    """[..., NH, HD] -> [..., NH, NKV*HD]: head n's vector lands in its kv
+    head's lane range, zeros elsewhere (see module doc). Tiny XLA glue."""
+    *lead, NH, HD = q.shape
+    group = NH // nkv
+    onehot = jax.nn.one_hot(
+        jnp.arange(NH) // group, nkv, dtype=q.dtype
+    )  # [NH, NKV]
+    qj = jnp.einsum("...nd,nj->...njd", q, onehot)
+    return qj.reshape(*lead, NH, nkv * HD)
+
+
 def _dense_kernel(
     lens_ref,  # SMEM [B] int32
-    q_ref,  # [B, NH, HD] VMEM
-    k_hbm,  # [B, NKV, T/r, r*HD] HBM (lane-packed, r tokens per row)
+    q_ref,  # [B, NH, NKV*HD] VMEM (lane-packed queries)
+    k_hbm,  # [B, T, NKV*HD] HBM
     v_hbm,
     o_ref,  # [B, NH, HD]
-    k_buf,  # VMEM [2, B, NKV, bt/r, r*HD]
+    k_buf,  # VMEM [2, B, bt, NKV*HD]
     v_buf,
     k_sem,
     v_sem,
     m_scr,  # VMEM [B, NH, 1] f32
     l_scr,
-    acc_scr,  # VMEM [B, NH, HD] f32
+    acc_scr,  # VMEM [B, NH, NKV*HD] f32
     *,
     block_t: int,
     num_blocks: int,
@@ -71,24 +76,19 @@ def _dense_kernel(
     batch: int,
     nkv: int,
     group: int,
-    r: int,
     hd: int,
 ):
     blk = pl.program_id(0)
-    rows = block_t // r  # packed rows per block per kv head
+    nh = nkv * group
 
     def slab_copies(slot, idx):
         return (
             pltpu.make_async_copy(
-                k_hbm.at[:, :, pl.ds(idx * rows, rows)],
-                k_buf.at[slot],
-                k_sem.at[slot],
-            ),
+                k_hbm.at[:, pl.ds(idx * block_t, block_t)],
+                k_buf.at[slot], k_sem.at[slot]),
             pltpu.make_async_copy(
-                v_hbm.at[:, :, pl.ds(idx * rows, rows)],
-                v_buf.at[slot],
-                v_sem.at[slot],
-            ),
+                v_hbm.at[:, pl.ds(idx * block_t, block_t)],
+                v_buf.at[slot], v_sem.at[slot]),
         )
 
     def start_copy(slot, idx):
@@ -111,83 +111,64 @@ def _dense_kernel(
     for c in slab_copies(slot, blk):
         c.wait()
 
-    kv_cols = nkv * rows
-    nh = nkv * group
-    # Static masks for (query-head, kv-head) matching: packed-slab column c
-    # belongs to kv head c // rows; query head n reads kv head n // group.
-    col_h = jax.lax.broadcasted_iota(jnp.int32, (nh, kv_cols), 1) // rows
-    row_h = jax.lax.broadcasted_iota(jnp.int32, (nh, kv_cols), 0) // group
-    head_ok = col_h == row_h
-    # Token position of packed row c, interleave j: r * (c % rows) + j.
-    col_row = jax.lax.broadcasted_iota(jnp.int32, (nh, kv_cols), 1) % rows
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, block_t), 1)
 
     for b in range(batch):  # static unroll: B is small at decode
         length = lens_ref[b]
-        kp = k_buf[slot, b].reshape(kv_cols, r * hd)
-        vp = v_buf[slot, b].reshape(kv_cols, r * hd)
-        q = q_ref[b].astype(jnp.bfloat16)  # [NH, HD]
-        # Deinterleave at the value level: r lane-slices of [kv_cols, HD],
-        # one scores dot + one pv dot per interleave. (Concatenating the
-        # slices into one dot trips Mosaic: lane slices at different offsets
-        # can't be concatenated along sublanes without an unsupported
-        # relayout — "offset mismatch on non-concat dimension".)
-        ss = []
-        for j in range(r):
-            kj = kp[:, j * hd : (j + 1) * hd]
-            s = jax.lax.dot_general(
-                q, kj.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * sm_scale  # [NH, kv_cols]
-            tok = r * col_row + j + blk * block_t
-            ss.append(jnp.where(head_ok & (tok < length), s, MASK_VALUE))
+        k = k_buf[slot, b]  # [bt, NKV*HD]
+        v = v_buf[slot, b]
+        q = q_ref[b].astype(jnp.bfloat16)  # [NH, NKV*HD]
+
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [NH, bt] — true per-head logits (foreign lanes are 0)
+        s = jnp.where(col_t + blk * block_t < length, s, MASK_VALUE)
 
         m_prev = m_scr[b]  # [NH, 1]
         l_prev = l_scr[b]
-        m_curr = ss[0].max(axis=1, keepdims=True)
-        for s in ss[1:]:
-            m_curr = jnp.maximum(m_curr, s.max(axis=1, keepdims=True))
-        m_next = jnp.maximum(m_prev, m_curr)
+        m_next = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_next)
-
-        l_new = alpha * l_prev
-        pv = None
-        for j, s in enumerate(ss):
-            p = jnp.exp(s - m_next)
-            l_new = l_new + jnp.sum(p, axis=1, keepdims=True)
-            vj = vp[:, j * hd : (j + 1) * hd]
-            d = jax.lax.dot(
-                p.astype(jnp.bfloat16), vj.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )  # [NH, HD] — masked p rows are exactly 0 for foreign kv heads
-            pv = d if pv is None else pv + d
-        l_scr[b] = l_new
+        p = jnp.exp(s - m_next)
+        l_scr[b] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[b] = m_next
+        pv = jax.lax.dot(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # [NH, NKV*HD]; head n's answer lives in its kv head's lanes
         acc_scr[b] = acc_scr[b] * alpha + pv
 
     @pl.when(blk == num_blocks - 1)
     def _store():
+        # Per-head lane selection: att[n] = acc[n, kv(n)*HD : (kv(n)+1)*HD].
+        head = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0) // group
         for b in range(batch):
             l = l_scr[b]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[b] = (acc_scr[b] * l_inv).astype(o_ref.dtype)
+            acc = acc_scr[b]
+            att = None
+            for j in range(nkv):
+                part = acc[:, j * hd : (j + 1) * hd] * (head == j)
+                att = part if att is None else att + part
+            o_ref[b] = (att * l_inv).astype(o_ref.dtype)
 
 
 def dense_decode_attention(
     q: jax.Array,  # [B, 1, NH, HD] or [B, NH, HD]
-    k_cache: jax.Array,  # [B, NKV, T, HD]
+    k_cache: jax.Array,  # [B, T, NKV, HD] (token-major, the write layout)
     v_cache: jax.Array,
     lens: jax.Array,  # [B] int32, valid entries incl. current token
     *,
     scale: Optional[float] = None,
-    block_t: int = 256,
+    block_t: int = 128,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Decode attention over a head-major dense KV cache. Returns q's shape."""
+    """Decode attention over the dense KV cache. Returns q's shape."""
     squeeze = q.ndim == 4
     if squeeze:
         q = q.reshape(q.shape[0], q.shape[2], q.shape[3])
     B, NH, HD = q.shape
-    _, NKV, T, _ = k_cache.shape
+    _, T, NKV, _ = k_cache.shape
     G = NH // NKV
     sm_scale = 1.0 / math.sqrt(HD) if scale is None else scale
 
@@ -196,45 +177,43 @@ def dense_decode_attention(
         # DMA/semaphore path needs hardware; oracle on CPU.
         from mila_tpu.ops.attention import decode_attention
 
-        out = decode_attention(
-            q[:, None], k_cache.transpose(0, 2, 1, 3),
-            v_cache.transpose(0, 2, 1, 3), lens, scale=sm_scale,
-        )
+        out = decode_attention(q[:, None], k_cache, v_cache, lens,
+                               scale=sm_scale)
         return out if squeeze else out[:, 0]
 
-    r = max(1, 128 // HD)  # tokens lane-packed per 128-lane row
     bt = min(block_t, T)
-    while T % bt or bt % r:
+    while T % bt:
         bt //= 2
     num_blocks = T // bt
-    # Free row-major reshape: r consecutive tokens share one 128-lane row.
-    k2 = k_cache.reshape(B, NKV, T // r, r * HD)
-    v2 = v_cache.reshape(B, NKV, T // r, r * HD)
+    kd = NKV * HD
+    k2 = k_cache.reshape(B, T, kd)  # free row-major reshapes
+    v2 = v_cache.reshape(B, T, kd)
+    q_pk = pack_queries(q, NKV)
 
     out = pl.pallas_call(
         functools.partial(
             _dense_kernel,
             block_t=bt, num_blocks=num_blocks, sm_scale=sm_scale,
-            batch=B, nkv=NKV, group=G, r=r, hd=HD,
+            batch=B, nkv=NKV, group=G, hd=HD,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(num_blocks,),
             in_specs=[
                 # num_scalar_prefetch=1: index maps get (grid ids..., lens_ref)
-                pl.BlockSpec((B, NH, HD), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((B, NH, kd), lambda i, *_: (0, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.HBM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
             out_specs=pl.BlockSpec((B, NH, HD), lambda i, *_: (0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, B, NKV, bt // r, r * HD), k_cache.dtype),
-                pltpu.VMEM((2, B, NKV, bt // r, r * HD), v_cache.dtype),
+                pltpu.VMEM((2, B, bt, kd), k_cache.dtype),
+                pltpu.VMEM((2, B, bt, kd), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((B, NH, 1), jnp.float32),
                 pltpu.VMEM((B, NH, 1), jnp.float32),
-                pltpu.VMEM((B, NH, HD), jnp.float32),
+                pltpu.VMEM((B, NH, kd), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, NH, HD), q.dtype),
@@ -242,10 +221,10 @@ def dense_decode_attention(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * NH * T * HD,
+            flops=2 * 2 * B * NH * T * NKV * HD,
             bytes_accessed=2 * B * NKV * T * HD * k_cache.dtype.itemsize,
             transcendentals=B * NH * T,
         ),
         interpret=False,
-    )(lens.astype(jnp.int32), q, k2, v2)
+    )(lens.astype(jnp.int32), q_pk, k2, v2)
     return out[:, None] if squeeze else out

@@ -227,21 +227,20 @@ class LlamaBlock(CompositeModule):
     def apply_with_cache(self, params, x, cache, pos, cos, sin):
         """Incremental step: x [B,t,H] at absolute position pos.
 
-        Cache layout is head-major [B, NKV, maxT, HD] (see init_kv_cache):
-        a T-chunk slab is one strided DMA for the Pallas dense decode
-        attention kernel, and the new token inserts with a single
-        dynamic_update_slice.
+        Cache layout is token-major [B, maxT, NKV, HD] (see init_kv_cache):
+        the new token inserts with one CONTIGUOUS dynamic_update_slice (the
+        head-major r3 experiment made this a 64-lane strided scatter that
+        cost ~64us/layer in XLA); the Pallas dense decode attention kernel
+        reads the same layout as [B, maxT, NKV*HD] lane-packed rows.
         """
         q, k, v = self._qkv(params, x)
         q = ops.apply_rope(q, cos, sin)
         k = ops.apply_rope(k, cos, sin)
         k_cache = jax.lax.dynamic_update_slice(
-            cache["k"], k.transpose(0, 2, 1, 3).astype(cache["k"].dtype),
-            (0, 0, pos, 0),
+            cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
         )
         v_cache = jax.lax.dynamic_update_slice(
-            cache["v"], v.transpose(0, 2, 1, 3).astype(cache["v"].dtype),
-            (0, 0, pos, 0),
+            cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
         )
         B, t = x.shape[:2]
         total = pos + t
@@ -252,14 +251,12 @@ class LlamaBlock(CompositeModule):
                 q, k_cache, v_cache, jnp.full((B,), total, jnp.int32)
             )
         else:
-            maxT = k_cache.shape[2]
+            maxT = k_cache.shape[1]
             kj = jax.lax.broadcasted_iota(jnp.int32, (t, maxT), 1)
             qi = jax.lax.broadcasted_iota(jnp.int32, (t, maxT), 0) + pos
             mask = (kj <= qi)[None].repeat(B, 0)
-            att = ops.dot_product_attention(
-                q, k_cache.transpose(0, 2, 1, 3), v_cache.transpose(0, 2, 1, 3),
-                causal=False, mask=mask,
-            )
+            att = ops.dot_product_attention(q, k_cache, v_cache,
+                                            causal=False, mask=mask)
         return self._finish_attn(params, x, att), {"k": k_cache, "v": v_cache}
 
     def output_shape(self, input_shape):
@@ -315,6 +312,48 @@ def pack_decode_mlp(params: dict, *, bn: int = 2048) -> dict:
             continue
         b = dict(blk)
         b["mlp_pack"] = pack
+        out[name] = b
+    return out
+
+
+def pack_decode_layers(params: dict, *, bn: int = 512,
+                       num_layers: int = 0) -> dict:
+    """Add the whole-layer megakernel pack (``layer_pack``) to every
+    quantized block: wo+wgu+down of layer i plus wqkv of layer i+1 stacked
+    into one weight stream (kernels/layer_fused.py). Run AFTER
+    fuse_llama_projections + quantize_model_params.
+
+    Like :func:`pack_decode_mlp` this keeps the original QTensors for the
+    prefill path, trading one extra int8 weight image in HBM for the
+    decode-specialized layout.
+    """
+    from mila_tpu.inference.quantize import QTensor
+    from mila_tpu.kernels.layer_fused import pack_layer
+
+    def get_qt(blk, name):
+        w = blk.get(name, {}).get("weight") if isinstance(blk, dict) else None
+        return w if isinstance(w, QTensor) else None
+
+    layer_names = sorted(
+        (n for n in params if n.startswith("h") and n[1:].isdigit()),
+        key=lambda n: int(n[1:]),
+    )
+    out = dict(params)
+    for idx, name in enumerate(layer_names):
+        blk = params[name]
+        wo, wgu, down = (get_qt(blk, k) for k in ("wo", "wgu", "down"))
+        if not all((wo, wgu, down)):
+            continue
+        wqkv_next = None
+        if idx + 1 < len(layer_names):
+            wqkv_next = get_qt(params[layer_names[idx + 1]], "wqkv")
+            if wqkv_next is None:
+                continue  # chain broken: next layer can't be fed
+        pack = pack_layer(wo, wgu, down, wqkv_next, bn=bn)
+        if pack is None:
+            continue
+        b = dict(blk)
+        b["layer_pack"] = pack
         out[name] = b
     return out
 
@@ -456,12 +495,13 @@ class Llama(CompositeModule):
     def init_kv_cache(self, batch_size: int, max_len: int = 0, dtype=jnp.bfloat16) -> dict:
         cfg: LlamaConfig = self.config
         maxT = max_len or min(cfg.max_seq_len, 4096)
-        # Head-major layout [B, NKV, maxT, HD]: single-DUS token insert and
-        # one strided DMA per T-slab in kernels/dense_attention.py.
+        # Token-major layout [B, maxT, NKV, HD]: the per-token insert is one
+        # contiguous DUS; kernels/dense_attention.py reads the same memory
+        # as [B, maxT, NKV*HD] lane-packed rows (free reshape).
         return {
             f"h{i}": {
-                "k": jnp.zeros((batch_size, cfg.num_kv_heads, maxT, cfg.hd), dtype),
-                "v": jnp.zeros((batch_size, cfg.num_kv_heads, maxT, cfg.hd), dtype),
+                "k": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
+                "v": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
             }
             for i in range(cfg.num_layers)
         }
@@ -473,10 +513,63 @@ class Llama(CompositeModule):
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)
         positions = pos + jnp.arange(t)[None].repeat(B, 0)
         cos, sin = self._rope(positions)
+        if (
+            t == 1
+            and B <= 32
+            and all(
+                "layer_pack" in params[f"h{i}"] for i in range(cfg.num_layers)
+            )
+        ):
+            return self._backbone_fused_decode(params, x, cache, pos, cos, sin)
         new_cache = {}
         for i in range(cfg.num_layers):
             x, new_cache[f"h{i}"] = self.get(f"h{i}").apply_with_cache(
                 params[f"h{i}"], x, cache[f"h{i}"], pos, cos, sin
+            )
+        return x, new_cache
+
+    def _backbone_fused_decode(self, params, x, cache, pos, cos, sin):
+        """Two-kernel-per-layer megakernel decode: [dense attention] ->
+        [layer tail: wo|rms|SwiGLU|down + NEXT layer's rms+wqkv]
+        (kernels/layer_fused.py); only rope + the contiguous cache insert
+        stay in XLA. Layer 0's qkv comes from the standalone fused
+        rms+wqkv kernel."""
+        cfg: LlamaConfig = self.config
+        from mila_tpu.kernels.decode_fused import rms_quant_linear
+        from mila_tpu.kernels.dense_attention import dense_decode_attention
+        from mila_tpu.kernels.layer_fused import mlp_qkv_fused
+
+        B = x.shape[0]
+        NQ = cfg.num_heads * cfg.hd
+        NKVD = cfg.num_kv_heads * cfg.hd
+        lens = jnp.full((B,), pos + 1, jnp.int32)
+        qkv = rms_quant_linear(
+            x, params["h0"]["ln_attn"]["gamma"], params["h0"]["wqkv"]["weight"],
+            eps=cfg.rms_eps,
+        )
+        new_cache = {}
+        for i in range(cfg.num_layers):
+            bp = params[f"h{i}"]
+            lcache = cache[f"h{i}"]
+            q, k, v = jnp.split(qkv, [NQ, NQ + NKVD], axis=-1)
+            q = ops.apply_rope(q.reshape(B, 1, cfg.num_heads, cfg.hd), cos, sin)
+            k = ops.apply_rope(k.reshape(B, 1, cfg.num_kv_heads, cfg.hd), cos, sin)
+            v = v.reshape(B, 1, cfg.num_kv_heads, cfg.hd)
+            k_cache = jax.lax.dynamic_update_slice(
+                lcache["k"], k.astype(lcache["k"].dtype), (0, pos, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                lcache["v"], v.astype(lcache["v"].dtype), (0, pos, 0, 0)
+            )
+            new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
+            att = dense_decode_attention(q, k_cache, v_cache, lens)
+            gamma_next = (
+                params[f"h{i + 1}"]["ln_attn"]["gamma"]
+                if i + 1 < cfg.num_layers else None
+            )
+            x, qkv = mlp_qkv_fused(
+                att.reshape(B, 1, NQ), x, bp["ln_mlp"]["gamma"],
+                bp["layer_pack"], gamma_next, eps=cfg.rms_eps,
             )
         return x, new_cache
 
@@ -616,10 +709,10 @@ class Llama(CompositeModule):
             q, k, v = blk._qkv(bp, x)
             q = ops.apply_rope(q, cos, sin)
             k = ops.apply_rope(k, cos, sin)
-            k_cache = lcache["k"].at[rows, :, positions].set(
+            k_cache = lcache["k"].at[rows, positions].set(
                 k[:, 0].astype(lcache["k"].dtype)
             )
-            v_cache = lcache["v"].at[rows, :, positions].set(
+            v_cache = lcache["v"].at[rows, positions].set(
                 v[:, 0].astype(lcache["v"].dtype)
             )
             from mila_tpu.kernels.dense_attention import dense_decode_attention

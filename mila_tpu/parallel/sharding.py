@@ -97,9 +97,9 @@ def llama_param_specs(params: Any) -> Any:
 
 
 def kv_cache_specs(cache: Any) -> Any:
-    """Head-major KV cache [B, NKV, T, HD]: batch on 'data', heads on
-    'model' (matches Llama.init_kv_cache's layout)."""
-    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS, MODEL_AXIS, None, None), cache)
+    """Token-major KV cache [B, T, NKV, HD]: batch on 'data', heads on
+    'model' (matches init_kv_cache layouts)."""
+    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS, None, MODEL_AXIS, None), cache)
 
 
 def batch_specs(batch: Any) -> Any:

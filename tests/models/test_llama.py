@@ -187,6 +187,49 @@ class TestFusedProjections:
             rtol=2e-2, atol=2e-2,
         )
 
+    def test_layer_pack_decode_matches(self, tiny_llama):
+        """Whole-layer megakernel decode path vs the unpacked quantized
+        model (kernels/layer_fused.py wiring in _backbone_fused_decode)."""
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.llama import (
+            fuse_llama_projections, pack_decode_layers,
+        )
+
+        model, params, cfg = tiny_llama
+        fused_q = quantize_model_params(
+            fuse_llama_projections(params), "int8", min_size=1024
+        )
+        packed = pack_decode_layers(fused_q, bn=128)
+        assert all(
+            "layer_pack" in packed[f"h{i}"] for i in range(cfg.num_layers)
+        )
+        assert packed["h0"]["layer_pack"].n_qkv > 0
+        assert packed[f"h{cfg.num_layers - 1}"]["layer_pack"].n_qkv == 0
+        toks = jnp.array([[2, 4, 6], [1, 3, 5]], jnp.int32)
+        cache1 = model.init_kv_cache(2, 16, jnp.float32)
+        cache2 = model.init_kv_cache(2, 16, jnp.float32)
+        _, c1 = model.forward_with_cache(fused_q, toks, cache1, 0)
+        _, c2 = model.forward_with_cache(packed, toks, cache2, 0)
+        nxt = jnp.array([[7], [9]], jnp.int32)
+        d1, c1b = model.forward_with_cache(fused_q, nxt, c1, 3)
+        d2, c2b = model.forward_with_cache(packed, nxt, c2, 3)
+        np.testing.assert_allclose(
+            np.asarray(d1, np.float32), np.asarray(d2, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        # Caches stayed in sync through the fused step.
+        np.testing.assert_allclose(
+            np.asarray(c1b["h0"]["k"], np.float32),
+            np.asarray(c2b["h0"]["k"], np.float32), rtol=2e-2, atol=2e-2,
+        )
+        # And another fused step chains off the fused cache.
+        d3, _ = model.forward_with_cache(packed, nxt, c2b, 4)
+        d3_ref, _ = model.forward_with_cache(fused_q, nxt, c1b, 4)
+        np.testing.assert_allclose(
+            np.asarray(d3, np.float32), np.asarray(d3_ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
     def test_quantized_lm_head(self, tiny_llama):
         from mila_tpu.models.llama import add_quantized_lm_head
 
