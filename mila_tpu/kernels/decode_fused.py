@@ -106,7 +106,8 @@ def rms_quant_linear(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused rmsnorm(x, gamma) @ dequant(qt) for decode shapes (M <= 32)."""
-    K, N = qt.q.shape
+    K = qt.packed_rows or qt.q.shape[0]  # int4 packs two K rows per byte
+    N = qt.q.shape[1]
     orig_shape = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
@@ -126,9 +127,12 @@ def rms_quant_linear(
         and not qt.packed_rows
     )
     if not ok:
+        from mila_tpu.kernels.quant_matmul import quant_linear
         from mila_tpu.ops.rmsnorm import rms_norm
 
-        out = quant_linear_ref(rms_norm(x2, gamma, eps), qt)
+        # quant_linear keeps packed-int4 weights on the Pallas nibble kernel.
+        out = quant_linear(rms_norm(x2, gamma, eps), qt,
+                           interpret=interpret)
         return out.reshape(*orig_shape[:-1], N)
 
     n_k = K // bk
@@ -247,7 +251,8 @@ def rms_quant_linear_argmax(
     argmaxes bf16-rounded logits — near-ties can differ; f32 is the more
     faithful greedy decision).
     """
-    K, N = qt.q.shape
+    K = qt.packed_rows or qt.q.shape[0]
+    N = qt.q.shape[1]
     orig_shape = x.shape
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
@@ -353,7 +358,8 @@ def quant_linear_residual(
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused x @ dequant(qt) + res for decode shapes (M <= 32)."""
-    K, N = qt.q.shape
+    K = qt.packed_rows or qt.q.shape[0]
+    N = qt.q.shape[1]
     orig_shape = res.shape
     x2 = x.reshape(-1, K)
     r2 = res.reshape(-1, N)
@@ -373,7 +379,9 @@ def quant_linear_residual(
         and not qt.packed_rows
     )
     if not ok:
-        out = quant_linear_ref(x2, qt) + r2.astype(x2.dtype)
+        from mila_tpu.kernels.quant_matmul import quant_linear
+
+        out = quant_linear(x2, qt, interpret=interpret) + r2.astype(x2.dtype)
         return out.reshape(orig_shape)
 
     n_k = K // bk
@@ -467,7 +475,8 @@ def rms_quant_linear_swiglu(
 
     ``qt`` holds the fused [K, 2I] gate|up weight; returns [..., I].
     """
-    K, N2 = qt.q.shape
+    K = qt.packed_rows or qt.q.shape[0]
+    N2 = qt.q.shape[1]
     I = N2 // 2
     orig_shape = x.shape
     x2 = x.reshape(-1, K)
@@ -490,10 +499,11 @@ def rms_quant_linear_swiglu(
         and not qt.packed_rows
     )
     if not ok:
+        from mila_tpu.kernels.quant_matmul import quant_linear
         from mila_tpu.ops.rmsnorm import rms_norm
         from mila_tpu.ops.swiglu import swiglu
 
-        gu = quant_linear_ref(rms_norm(x2, gamma, eps), qt)
+        gu = quant_linear(rms_norm(x2, gamma, eps), qt, interpret=interpret)
         g, u = jnp.split(gu, 2, axis=-1)
         return swiglu(g, u).reshape(*orig_shape[:-1], I)
 

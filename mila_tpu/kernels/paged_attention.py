@@ -36,7 +36,7 @@ def _paged_kernel(
     page_tbl_ref,  # [B, W] int32
     # inputs
     q_ref,  # [1, 1, G8, HD] VMEM (per (b, h) block)
-    k_pages_ref,  # [NKV, P, ps, HD] ANY/HBM
+    k_pages_ref,  # [NKV, P, HD, ps] ANY/HBM
     v_pages_ref,
     *rest,  # [ks_ref, vs_ref] if quant, then o_ref + scratch
     pages_per_block: int,
@@ -83,12 +83,25 @@ def _paged_kernel(
                     s_sem.at[dst_slot],
                 ).start()
 
-    def wait_copy(slot):
-        # One shared semaphore per buffer slot counts all page copies.
-        pltpu.semaphore_wait(k_sem.at[slot], pages_per_block)
-        pltpu.semaphore_wait(v_sem.at[slot], pages_per_block)
-        if quant:
-            pltpu.semaphore_wait(s_sem.at[slot], 2 * pages_per_block)
+    def wait_copy(slot, block_idx):
+        # One shared semaphore per buffer slot counts all page copies;
+        # waiting re-materializes each copy descriptor (jax>=0.9 forbids
+        # raw semaphore_wait on DMA semaphores).
+        for i in range(pages_per_block):
+            page = page_tbl_ref[b, block_idx * pages_per_block + i]
+            pltpu.make_async_copy(
+                k_pages_ref.at[h, page], k_buf.at[slot, i], k_sem.at[slot]
+            ).wait()
+            pltpu.make_async_copy(
+                v_pages_ref.at[h, page], v_buf.at[slot, i], v_sem.at[slot]
+            ).wait()
+            if quant:
+                pltpu.make_async_copy(
+                    ks_ref.at[h, page], ks_buf.at[slot, i], s_sem.at[slot]
+                ).wait()
+                pltpu.make_async_copy(
+                    vs_ref.at[h, page], vs_buf.at[slot, i], s_sem.at[slot]
+                ).wait()
 
     @pl.when(blk == 0)
     def _init():
@@ -110,11 +123,13 @@ def _paged_kernel(
         def _prefetch():
             start_copy((blk + 1) % 2, blk + 1)
 
-        wait_copy(slot)
-        k = k_buf[slot].reshape(bk, k_buf.shape[-1]).astype(jnp.float32)
+        wait_copy(slot, blk)
         q = q_ref[0, 0].astype(jnp.float32)  # [G8, HD]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        # Transposed pages [HD, ps]: q @ k_page IS q·k^T, one dot per page.
+        s = jnp.concatenate(
+            [jax.lax.dot(q, k_buf[slot, i].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+             for i in range(pages_per_block)], axis=1,
         ) * sm_scale  # [G8, bk]
         if quant:
             # Per-token K scales: s_ij = (q_i · q8k_j) * kscale_j * sm_scale.
@@ -133,13 +148,20 @@ def _paged_kernel(
         )
         m_scr[...] = m_next
         l_scr[...] = l_next
-        v = v_buf[slot].reshape(bk, v_buf.shape[-1]).astype(jnp.float32)
         if quant:
             # Fold per-token V scales into p (cheaper: [G8,bk] vs [bk,HD]).
             p = p * vs_buf[slot].reshape(1, bk)
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
-        )
+        # v pages are transposed [HD, ps]: contract p's token lanes against
+        # each page's token lanes (NT matmul), one dot per page.
+        pv = acc_scr[...] * alpha[:, :1]
+        for i in range(pages_per_block):
+            pv = pv + jax.lax.dot_general(
+                p[:, i * page_size : (i + 1) * page_size],
+                v_buf[slot, i].astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_scr[...] = pv
 
     @pl.when(blk == num_blocks - 1)
     def _store():
@@ -150,7 +172,7 @@ def _paged_kernel(
 
 def paged_decode_attention(
     q: jax.Array,  # [B, 1, NH, HD]
-    k_pages: jax.Array,  # [NKV, P, ps, HD]
+    k_pages: jax.Array,  # [NKV, P, HD, ps]
     v_pages: jax.Array,
     page_table: jax.Array,  # [B, W] int32
     seq_lens: jax.Array,  # [B] int32
@@ -163,17 +185,17 @@ def paged_decode_attention(
 ) -> jax.Array:
     """Paged KV decode attention. Returns [B, 1, NH, HD].
 
-    Page layout here is head-major [NKV, P, ps, HD] (one DMA per (head,
-    page)); :class:`mila_tpu.inference.kv_cache.PagedKVCache` stores
-    [P, ps, NKV, HD] per layer — transpose once at setup.
+    Page layout is head-major with TRANSPOSED pages [NKV, P, HD, ps] (one
+    DMA per (head, page); tokens on the minor axis keep every DMA slice
+    128-aligned for HD < 128, and q @ k_page is directly q·k^T).
 
     With ``k_scale``/``v_scale`` the pages hold int8 values quantized
     per (head, page, token); the kernel streams half the KV bytes plus
     tiny scale rows and dequantizes on the fly (scales folded into the
-    score / probability matrices, never into the [bk, HD] tiles).
+    score / probability matrices, never into the [HD, ps] tiles).
     """
     B, one, NH, HD = q.shape
-    NKV, P, ps, _ = k_pages.shape
+    NKV, P, _, ps = k_pages.shape
     W = page_table.shape[1]
     G = NH // NKV
     sm_scale = 1.0 / math.sqrt(HD) if scale is None else scale
@@ -184,7 +206,7 @@ def paged_decode_attention(
         # The DMA/semaphore path needs real hardware.
         from mila_tpu.inference.kv_cache import paged_decode_attention_ref
 
-        kp, vp = k_pages, v_pages
+        kp, vp = k_pages.transpose(0, 1, 3, 2), v_pages.transpose(0, 1, 3, 2)
         if quant:
             kp = kp.astype(jnp.float32) * k_scale[..., None]
             vp = vp.astype(jnp.float32) * v_scale[..., None]
@@ -212,14 +234,14 @@ def paged_decode_attention(
     grid = (B, NKV, num_blocks)
 
     in_specs = [
-        pl.BlockSpec((1, 1, G8, HD), lambda b, h, i: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, G8, HD), lambda b, h, i, *_: (b, h, 0, 0)),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     args = [qg, k_pages, v_pages]
     scratch = [
-        pltpu.VMEM((2, pages_per_block, ps, HD), k_pages.dtype),
-        pltpu.VMEM((2, pages_per_block, ps, HD), v_pages.dtype),
+        pltpu.VMEM((2, pages_per_block, HD, ps), k_pages.dtype),
+        pltpu.VMEM((2, pages_per_block, HD, ps), v_pages.dtype),
     ]
     if quant:
         in_specs += [
@@ -256,7 +278,7 @@ def paged_decode_attention(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, G8, HD), lambda b, h, i: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, G8, HD), lambda b, h, i, *_: (b, h, 0, 0)),
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((B, NKV, G8, HD), q.dtype),

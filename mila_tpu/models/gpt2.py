@@ -280,7 +280,7 @@ class GPT2(CompositeModule):
         from mila_tpu.ops.attention import attention
 
         B, T = tokens.shape
-        ps = pools["k"].shape[3]
+        ps = pools["k"].shape[4]
         pos_ids = jnp.arange(T)[None].repeat(B, 0)
         x = jnp.take(params["encoder"]["wte"], tokens, axis=0)
         wpe = params["encoder"].get("wpe")
@@ -307,7 +307,7 @@ class GPT2(CompositeModule):
         from mila_tpu.inference.kv_cache import paged_attention_read, paged_scatter
 
         B = tokens.shape[0]
-        ps = pools["k"].shape[3]
+        ps = pools["k"].shape[4]
         x = jnp.take(params["encoder"]["wte"], tokens, axis=0)
         wpe = params["encoder"].get("wpe")
         if wpe is not None:

@@ -581,7 +581,7 @@ class Llama(CompositeModule):
 
     def init_paged_cache(self, num_pages: int, page_size: int = 128,
                          dtype=jnp.bfloat16) -> dict:
-        """Page pools [L, NKV, P, ps, HD] (head-major: one DMA per (head,
+        """Page pools [L, NKV, P, HD, ps] (head-major, transposed pages: one DMA per (head,
         page) in :func:`mila_tpu.kernels.paged_attention.paged_decode_attention`)."""
         from mila_tpu.inference.kv_cache import make_paged_pools
 
@@ -605,7 +605,7 @@ class Llama(CompositeModule):
         from mila_tpu.ops.attention import attention
 
         B, T = tokens.shape
-        ps = pools["k"].shape[3]
+        ps = pools["k"].shape[4]
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)
         pos_ids = jnp.arange(T)[None].repeat(B, 0)
         cos, sin = self._rope(pos_ids)
@@ -639,7 +639,7 @@ class Llama(CompositeModule):
         from mila_tpu.inference.kv_cache import paged_attention_read, paged_scatter
 
         B = tokens.shape[0]
-        ps = pools["k"].shape[3]
+        ps = pools["k"].shape[4]
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)
         cos, sin = self._rope(positions[:, None])
         rows = jnp.arange(B)
@@ -671,7 +671,7 @@ class Llama(CompositeModule):
         from mila_tpu.inference.kv_cache import paged_attention_read, paged_scatter
 
         B, t = tokens.shape
-        ps = pools["k"].shape[3]
+        ps = pools["k"].shape[4]
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B, t, H]
         pos_bt = positions[:, None] + jnp.arange(t)[None, :]  # [B, t]
         cos, sin = self._rope(pos_bt)

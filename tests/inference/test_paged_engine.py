@@ -291,7 +291,10 @@ class TestInt8KVPages:
         model, _ = tiny_llama
         pools = model.init_paged_cache(8, 4, jnp.int8)
         assert pools["k"].dtype == jnp.int8
-        assert "k_scale" in pools and pools["k_scale"].shape == pools["k"].shape[:-1]
+        # scale planes are [L, NKV, P, ps]: pages are transposed [HD, ps]
+        k = pools["k"].shape
+        assert "k_scale" in pools
+        assert pools["k_scale"].shape == (k[0], k[1], k[2], k[4])
         bf16 = model.init_paged_cache(8, 4, jnp.bfloat16)
         assert "k_scale" not in bf16
 
