@@ -111,6 +111,7 @@ def step_time(num_layers, batch, prompt_len=128, cache_len=512):
         LlamaConfig,
         add_quantized_lm_head,
         fuse_llama_projections,
+        pack_decode_layers,
     )
 
     cfg = LlamaConfig.llama32_1b().replace(
@@ -119,7 +120,9 @@ def step_time(num_layers, batch, prompt_len=128, cache_len=512):
     model = Llama(cfg)
     params = model.init(jax.random.key(0), (1, 32))
     params = fuse_llama_projections(params)
-    qparams = add_quantized_lm_head(quantize_model_params(params, "int8"), "int8")
+    qparams = pack_decode_layers(
+        add_quantized_lm_head(quantize_model_params(params, "int8"), "int8")
+    )
     r = bench_decode(model, qparams, cfg, batch=batch, prompt_len=prompt_len,
                      cache_len=cache_len)
     return r["per_token_ms"] / 1e3, r

@@ -221,10 +221,16 @@ def main():
     if args.quantize in ("int8", "both"):
         qparams = quantize_model_params(params, "int8")
         if getattr(model.config, "tie_embeddings", False) and args.scale != "gpt2-124m":
-            from mila_tpu.models.llama import add_quantized_lm_head
+            from mila_tpu.models.llama import (
+                add_quantized_lm_head,
+                pack_decode_layers,
+            )
 
             qparams = add_quantized_lm_head(qparams, "int8")
             print("added quantized lm_head", file=sys.stderr)
+            if args.fuse:
+                qparams = pack_decode_layers(qparams)
+                print("packed decode layers (megakernel path)", file=sys.stderr)
         print(f"int8 weights: {format_bytes(model_bytes(qparams))}", file=sys.stderr)
         r = bench_decode(model, qparams, cfg, args.batch, args.prompt_len)
         print(f"int8   b={args.batch}: {r}", file=sys.stderr)

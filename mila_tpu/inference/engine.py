@@ -208,12 +208,19 @@ class InferenceEngine:
                 logits, upd = model.forward_with_cache(
                     params,
                     tokens,
-                    jax.tree_util.tree_map(lambda c: c[:1], cache),
+                    jax.tree_util.tree_map(
+                        # batch is axis ndim-4 ([..., B, T, NKV, HD]; Llama
+                        # stacks layers in front: [L, B, T, NKV, HD])
+                        lambda c: jax.lax.slice_in_dim(c, 0, 1, axis=c.ndim - 4),
+                        cache,
+                    ),
                     0,
                 )
                 # Scatter the single-row cache update into the slot.
                 def put(full, one):
-                    mask = (slot_onehot > 0)[:, None, None, None]
+                    mask = (slot_onehot > 0).reshape(
+                        (1,) * (full.ndim - 4) + (-1, 1, 1, 1)
+                    )
                     return jnp.where(
                         mask,
                         jnp.broadcast_to(one, full.shape).astype(full.dtype),
@@ -405,7 +412,7 @@ class InferenceEngine:
 
                 def put(full, new):
                     mask = (slot_mask > 0).reshape(
-                        (-1,) + (1,) * (full.ndim - 1)
+                        (1,) * (full.ndim - 4) + (-1,) + (1,) * 3
                     )
                     return jnp.where(mask, new.astype(full.dtype), full)
 

@@ -228,3 +228,316 @@ def dense_decode_attention(
         interpret=False,
     )(lens.astype(jnp.int32), q_pk, k2, v2)
     return out[:, None] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Fully fused decode attention: in-kernel RoPE + current-token attention.
+#
+# The two-kernel decode layer still left ~35us/layer of XLA glue (measured
+# by benchmarks/decode_profile.py layer scaling): qkv split, two rope
+# fusions, bf16 casts, and the packed-query einsum all dispatch between the
+# Pallas calls. This entry moves rope and the just-computed token's
+# attention contribution INSIDE the kernel:
+#
+#   - callers pass the raw fused qkv row (post rms+wqkv, PRE-rope) plus
+#     full-width tiled rope tables (cos duplicated across halves, sin
+#     pre-signed [-sin | sin]); the kernel ropes the lane-packed queries and
+#     the new k with two lane-rolls + a select (split-half convention,
+#     ops/rope.py:55-68);
+#   - the dense cache is streamed only over the OLD tokens (< lens[b]);
+#     blocks past max(lens) are skipped entirely (the cache is allocated at
+#     max_seq_len but only `pos` rows are live — streaming the rest was
+#     pure waste);
+#   - the current token's score/value enter the online softmax in-register
+#     at finalize time, so the cache insert (XLA dynamic_update_slice on
+#     the token-major layout) is OFF the attention critical path and can
+#     overlap with the next kernel.
+#
+# Returns (att [B, NH, HD], k_new [B, NKV*HD] roped) — v_new is a plain
+# lane-slice of qkv the caller takes itself.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    lens_ref,  # SMEM [B] int32: number of OLD cache tokens per row
+    q_ref,  # [B, NH, KD] VMEM lane-packed queries, PRE-rope
+    qkv_ref,  # [B, NQ+2*KD] VMEM raw fused projection row
+    cos_ref,  # [B, KD] f32, full-width tiled
+    sin_ref,  # [B, KD] f32, pre-signed ([-sin | sin] per 64-lane group)
+    k_hbm,  # [L, B, T, KD] HBM stacked cache (rows >= lens[b] not read)
+    v_hbm,
+    o_ref,  # [B, NH, HD]
+    kn_ref,  # [B, KD] roped new k
+    k_buf,  # VMEM [2, B, bt, KD]
+    v_buf,
+    k_sem,
+    v_sem,
+    q_scr,  # VMEM [B, NH, KD] bf16 (roped packed queries)
+    kv_scr,  # VMEM [2, B, KD] bf16 (roped k_new row 0, v_new row 1)
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    block_t: int,
+    num_blocks: int,
+    sm_scale: float,
+    batch: int,
+    nkv: int,
+    group: int,
+    hd: int,
+    nq: int,
+    layer: int,
+):
+    blk = pl.program_id(0)
+    nh = nkv * group
+    kd = nkv * hd
+    maxlen = lens_ref[0]
+    for b in range(1, batch):
+        maxlen = jnp.maximum(maxlen, lens_ref[b])
+
+    def rope(x, c, s):
+        lo = jnp.roll(x, -(hd // 2), axis=1)
+        hi = jnp.roll(x, hd // 2, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        y = jnp.where(lane % hd < hd // 2, lo, hi)
+        return x * c + y * s
+
+    def slab_copies(slot, idx):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[layer, :, pl.ds(idx * block_t, block_t)],
+                k_buf.at[slot], k_sem.at[slot]),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, :, pl.ds(idx * block_t, block_t)],
+                v_buf.at[slot], v_sem.at[slot]),
+        )
+
+    @pl.when(blk == 0)
+    def _init():
+        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+        @pl.when(maxlen > 0)
+        def _():
+            for c in slab_copies(0, 0):
+                c.start()
+
+        # RoPE the packed queries and the new k; stash v.
+        for b in range(batch):
+            c = cos_ref[b][None, :]
+            s = sin_ref[b][None, :]
+            q_scr[b] = rope(q_ref[b].astype(jnp.float32), c, s).astype(
+                jnp.bfloat16
+            )
+        kn = rope(qkv_ref[:, nq : nq + kd].astype(jnp.float32),
+                  cos_ref[...], sin_ref[...])
+        kv_scr[0] = kn.astype(jnp.bfloat16)
+        kv_scr[1] = qkv_ref[:, nq + kd : nq + 2 * kd].astype(jnp.bfloat16)
+        kn_ref[...] = kn.astype(kn_ref.dtype)
+
+    active = blk * block_t < maxlen
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, block_t), 1)
+
+    @pl.when(active)
+    def _stream():
+        slot = jax.lax.rem(blk, 2)
+
+        @pl.when((blk + 1) * block_t < maxlen)
+        def _prefetch():
+            for c in slab_copies(jax.lax.rem(blk + 1, 2), blk + 1):
+                c.start()
+
+        for c in slab_copies(slot, blk):
+            c.wait()
+
+        for b in range(batch):
+            length = lens_ref[b]
+            k = k_buf[slot, b]
+            v = v_buf[slot, b]
+            q = q_scr[b]
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale
+            s = jnp.where(col_t + blk * block_t < length, s, MASK_VALUE)
+            m_prev = m_scr[b]
+            l_prev = l_scr[b]
+            m_next = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_scr[b] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[b] = m_next
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[b] = acc_scr[b] * alpha + pv
+
+    @pl.when(blk == num_blocks - 1)
+    def _finalize():
+        head = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0) // group
+        for b in range(batch):
+            # Current token joins the online softmax in-register (its k/v
+            # never round-trip through the cache for this step's read).
+            kn = kv_scr[0, b : b + 1, :].astype(jnp.float32)  # [1, KD]
+            vn = kv_scr[1, b : b + 1, :].astype(jnp.float32)
+            # VPU multiply + lane-reduce (a [NH,1]-wide MXU dot trips a
+            # Mosaic bf16 broadcast bug; this is equally cheap at NH=32).
+            s_cur = jnp.sum(
+                q_scr[b].astype(jnp.float32) * kn, axis=1, keepdims=True
+            ) * sm_scale  # [NH, 1]
+            m_fin = jnp.maximum(m_scr[b], s_cur)
+            alpha = jnp.exp(m_scr[b] - m_fin)
+            p_cur = jnp.exp(s_cur - m_fin)
+            l = l_scr[b] * alpha + p_cur
+            acc = acc_scr[b] * alpha + p_cur * vn
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            att = None
+            for j in range(nkv):
+                part = acc[:, j * hd : (j + 1) * hd] * (head == j)
+                att = part if att is None else att + part
+            o_ref[b] = (att * l_inv).astype(o_ref.dtype)
+
+
+def fused_decode_attention(
+    qkv: jax.Array,  # [B, NQ + 2*NKV*HD] raw fused projection (pre-rope)
+    q_pk: jax.Array,  # [B, NH, NKV*HD] lane-packed queries (pre-rope)
+    cos_t: jax.Array,  # [B, NKV*HD] full-width tiled cos
+    sin_t: jax.Array,  # [B, NKV*HD] pre-signed tiled sin
+    k_cache: jax.Array,  # [B, T, NKV, HD] or stacked [L, B, T, NKV, HD]
+    v_cache: jax.Array,
+    old_lens: jax.Array,  # [B] int32: live cache rows (current token excl.)
+    *,
+    num_heads: int,
+    layer: int = 0,  # static layer id into a stacked cache
+    scale: Optional[float] = None,
+    block_t: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """In-kernel rope + dense-cache decode attention (see module comment).
+
+    Accepts the whole stacked cache [L, B, T, NKV, HD] with a STATIC
+    ``layer`` index — the kernel DMAs ``cache[layer]`` slabs directly, so
+    the caller never slices (an XLA slice of a kernel operand would
+    materialize an 8MB copy per layer).
+
+    Returns (att [B, NH, HD], k_new [B, NKV*HD] roped — caller inserts it
+    and the v lanes of ``qkv`` into the cache for the NEXT step).
+    """
+    if k_cache.ndim == 4:
+        k_cache = k_cache[None]
+        v_cache = v_cache[None]
+        layer = 0
+    L, B, T, NKV, HD = k_cache.shape
+    NH = num_heads
+    KD = NKV * HD
+    NQ = NH * HD
+    G = NH // NKV
+    sm_scale = 1.0 / math.sqrt(HD) if scale is None else scale
+
+    interp = _interpret_default() if interpret is None else interpret
+    if interp:
+        return _fused_decode_attention_ref(
+            qkv, cos_t, sin_t, k_cache[layer], v_cache[layer], old_lens,
+            num_heads=NH, scale=sm_scale,
+        )
+
+    bt = min(block_t, T)
+    while T % bt:
+        bt //= 2
+    num_blocks = T // bt
+    k2 = k_cache.reshape(L, B, T, KD)
+    v2 = v_cache.reshape(L, B, T, KD)
+
+    att, k_new = pl.pallas_call(
+        functools.partial(
+            _fused_kernel,
+            block_t=bt, num_blocks=num_blocks, sm_scale=sm_scale,
+            batch=B, nkv=NKV, group=G, hd=HD, nq=NQ, layer=layer,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec((B, NH, KD), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((B, NQ + 2 * KD), lambda i, *_: (0, 0)),
+                pl.BlockSpec((B, KD), lambda i, *_: (0, 0)),
+                pl.BlockSpec((B, KD), lambda i, *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=(
+                pl.BlockSpec((B, NH, HD), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((B, KD), lambda i, *_: (0, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, B, bt, KD), k_cache.dtype),
+                pltpu.VMEM((2, B, bt, KD), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((B, NH, KD), jnp.bfloat16),
+                pltpu.VMEM((2, B, KD), jnp.bfloat16),
+                pltpu.VMEM((B, NH, 1), jnp.float32),
+                pltpu.VMEM((B, NH, 1), jnp.float32),
+                pltpu.VMEM((B, NH, KD), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, NH, HD), qkv.dtype),
+            jax.ShapeDtypeStruct((B, KD), qkv.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * NH * T * KD,
+            bytes_accessed=2 * B * T * KD * k_cache.dtype.itemsize,
+            transcendentals=B * NH * T,
+        ),
+        interpret=False,
+    )(old_lens.astype(jnp.int32), q_pk, qkv, cos_t.astype(jnp.float32),
+      sin_t.astype(jnp.float32), k2, v2)
+    return att, k_new
+
+
+def _fused_decode_attention_ref(qkv, cos_t, sin_t, k_cache, v_cache,
+                                old_lens, *, num_heads, scale):
+    """jnp oracle (CPU interpret path): rope via the tiled tables, then
+    decode attention over old cache + the current token."""
+    from mila_tpu.ops.attention import decode_attention
+
+    B, T, NKV, HD = k_cache.shape
+    KD = NKV * HD
+    NQ = num_heads * HD
+
+    def rope_flat(x, c, s):
+        xg = x.reshape(*x.shape[:-1], x.shape[-1] // HD, HD)
+        y = jnp.concatenate([xg[..., HD // 2:], xg[..., : HD // 2]], axis=-1)
+        y = y.reshape(x.shape)
+        return (x.astype(jnp.float32) * c + y.astype(jnp.float32) * s).astype(
+            x.dtype
+        )
+
+    q = qkv[:, :NQ]
+    k_new = rope_flat(qkv[:, NQ : NQ + KD], cos_t, sin_t)
+    v_new = qkv[:, NQ + KD :]
+    # q uses the same per-position tables tiled across NH heads
+    cq = jnp.tile(cos_t[:, :HD], (1, num_heads))
+    sq = jnp.tile(sin_t[:, :HD], (1, num_heads))
+    q = rope_flat(q, cq, sq)
+
+    # Assemble [old cache + current] per row at position old_lens[b].
+    kc = k_cache.reshape(B, T, KD)
+    vc = v_cache.reshape(B, T, KD)
+    rows = jnp.arange(B)
+    kc = kc.at[rows, old_lens].set(k_new.astype(kc.dtype))
+    vc = vc.at[rows, old_lens].set(v_new.astype(vc.dtype))
+    out = decode_attention(
+        q.reshape(B, 1, num_heads, HD),
+        kc.reshape(B, T, NKV, HD),
+        vc.reshape(B, T, NKV, HD),
+        old_lens + 1,
+        scale=scale,
+    )
+    return out[:, 0], k_new

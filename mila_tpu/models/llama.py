@@ -495,15 +495,20 @@ class Llama(CompositeModule):
     def init_kv_cache(self, batch_size: int, max_len: int = 0, dtype=jnp.bfloat16) -> dict:
         cfg: LlamaConfig = self.config
         maxT = max_len or min(cfg.max_seq_len, 4096)
-        # Token-major layout [B, maxT, NKV, HD]: the per-token insert is one
-        # contiguous DUS; kernels/dense_attention.py reads the same memory
-        # as [B, maxT, NKV*HD] lane-packed rows (free reshape).
+        # STACKED token-major layout [L, B, maxT, NKV, HD]: one decode step
+        # inserts ALL layers' new k/v with a single dynamic_update_slice pair
+        # (per-layer DUS fusions cost ~4-5us each on the tunneled v5e — 32 of
+        # them dominated the decode glue). Kernels index the stacked pool by
+        # a static layer id and read rows as [B, T, NKV*HD] (free reshape).
         return {
-            f"h{i}": {
-                "k": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
-                "v": jnp.zeros((batch_size, maxT, cfg.num_kv_heads, cfg.hd), dtype),
-            }
-            for i in range(cfg.num_layers)
+            "k": jnp.zeros(
+                (cfg.num_layers, batch_size, maxT, cfg.num_kv_heads, cfg.hd),
+                dtype,
+            ),
+            "v": jnp.zeros(
+                (cfg.num_layers, batch_size, maxT, cfg.num_kv_heads, cfg.hd),
+                dtype,
+            ),
         }
 
     def _backbone_with_cache(self, params, tokens, cache, pos):
@@ -521,12 +526,15 @@ class Llama(CompositeModule):
             )
         ):
             return self._backbone_fused_decode(params, x, cache, pos, cos, sin)
-        new_cache = {}
+        ks, vs = [], []
         for i in range(cfg.num_layers):
-            x, new_cache[f"h{i}"] = self.get(f"h{i}").apply_with_cache(
-                params[f"h{i}"], x, cache[f"h{i}"], pos, cos, sin
+            lview = {"k": cache["k"][i], "v": cache["v"][i]}
+            x, lc = self.get(f"h{i}").apply_with_cache(
+                params[f"h{i}"], x, lview, pos, cos, sin
             )
-        return x, new_cache
+            ks.append(lc["k"])
+            vs.append(lc["v"])
+        return x, {"k": jnp.stack(ks), "v": jnp.stack(vs)}
 
     def _backbone_fused_decode(self, params, x, cache, pos, cos, sin):
         """Two-kernel-per-layer megakernel decode: [dense attention] ->
@@ -536,33 +544,40 @@ class Llama(CompositeModule):
         rms+wqkv kernel."""
         cfg: LlamaConfig = self.config
         from mila_tpu.kernels.decode_fused import rms_quant_linear
-        from mila_tpu.kernels.dense_attention import dense_decode_attention
+        from mila_tpu.kernels.dense_attention import (
+            fused_decode_attention,
+            pack_queries,
+        )
         from mila_tpu.kernels.layer_fused import mlp_qkv_fused
 
         B = x.shape[0]
-        NQ = cfg.num_heads * cfg.hd
-        NKVD = cfg.num_kv_heads * cfg.hd
-        lens = jnp.full((B,), pos + 1, jnp.int32)
+        NH, NKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+        NQ = NH * HD
+        KD = NKV * HD
+        old_lens = jnp.full((B,), pos, jnp.int32)
+        # Full-width tiled rope tables, computed ONCE per step: cos duplicated
+        # across the split halves, sin pre-signed [-sin | sin] — the kernel
+        # applies rope as x*cos + lane_swap(x)*sin (dense_attention module doc).
+        d2 = HD // 2
+        c2 = cos.reshape(B, d2)
+        s2 = sin.reshape(B, d2)
+        cos_t = jnp.tile(jnp.concatenate([c2, c2], -1), (1, NKV))
+        sin_t = jnp.tile(jnp.concatenate([-s2, s2], -1), (1, NKV))
         qkv = rms_quant_linear(
             x, params["h0"]["ln_attn"]["gamma"], params["h0"]["wqkv"]["weight"],
             eps=cfg.rms_eps,
         )
-        new_cache = {}
+        kns, vns = [], []
         for i in range(cfg.num_layers):
             bp = params[f"h{i}"]
-            lcache = cache[f"h{i}"]
-            q, k, v = jnp.split(qkv, [NQ, NQ + NKVD], axis=-1)
-            q = ops.apply_rope(q.reshape(B, 1, cfg.num_heads, cfg.hd), cos, sin)
-            k = ops.apply_rope(k.reshape(B, 1, cfg.num_kv_heads, cfg.hd), cos, sin)
-            v = v.reshape(B, 1, cfg.num_kv_heads, cfg.hd)
-            k_cache = jax.lax.dynamic_update_slice(
-                lcache["k"], k.astype(lcache["k"].dtype), (0, pos, 0, 0)
+            qkv2 = qkv.reshape(B, NQ + 2 * KD)
+            q_pk = pack_queries(qkv2[:, :NQ].reshape(B, NH, HD), NKV)
+            att, k_new = fused_decode_attention(
+                qkv2, q_pk, cos_t, sin_t, cache["k"], cache["v"], old_lens,
+                num_heads=NH, layer=i,
             )
-            v_cache = jax.lax.dynamic_update_slice(
-                lcache["v"], v.astype(lcache["v"].dtype), (0, pos, 0, 0)
-            )
-            new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
-            att = dense_decode_attention(q, k_cache, v_cache, lens)
+            kns.append(k_new.reshape(B, NKV, HD))
+            vns.append(qkv2[:, NQ + KD :].reshape(B, NKV, HD))
             gamma_next = (
                 params[f"h{i + 1}"]["ln_attn"]["gamma"]
                 if i + 1 < cfg.num_layers else None
@@ -571,6 +586,21 @@ class Llama(CompositeModule):
                 att.reshape(B, 1, NQ), x, bp["ln_mlp"]["gamma"],
                 bp["layer_pack"], gamma_next, eps=cfg.rms_eps,
             )
+        # ONE batched insert for every layer (the kernel already folded the
+        # current token in-register, so the write is off the critical path).
+        L = cfg.num_layers
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"],
+                jnp.stack(kns)[:, :, None].astype(cache["k"].dtype),
+                (0, 0, pos, 0, 0),
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"],
+                jnp.stack(vns)[:, :, None].astype(cache["v"].dtype),
+                (0, 0, pos, 0, 0),
+            ),
+        }
         return x, new_cache
 
     def forward_with_cache(self, params, tokens, cache, pos):
@@ -701,19 +731,18 @@ class Llama(CompositeModule):
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B,1,H]
         cos, sin = self._rope(positions[:, None])
         rows = jnp.arange(B)
-        new_cache = {}
+        ks, vs = [], []
         for i in range(cfg.num_layers):
             blk = self.get(f"h{i}")
             bp = params[f"h{i}"]
-            lcache = cache[f"h{i}"]
             q, k, v = blk._qkv(bp, x)
             q = ops.apply_rope(q, cos, sin)
             k = ops.apply_rope(k, cos, sin)
-            k_cache = lcache["k"].at[rows, positions].set(
-                k[:, 0].astype(lcache["k"].dtype)
+            k_cache = cache["k"][i].at[rows, positions].set(
+                k[:, 0].astype(cache["k"].dtype)
             )
-            v_cache = lcache["v"].at[rows, positions].set(
-                v[:, 0].astype(lcache["v"].dtype)
+            v_cache = cache["v"][i].at[rows, positions].set(
+                v[:, 0].astype(cache["v"].dtype)
             )
             from mila_tpu.kernels.dense_attention import dense_decode_attention
 
@@ -721,5 +750,8 @@ class Llama(CompositeModule):
                 q, k_cache, v_cache, (positions + 1).astype(jnp.int32)
             )
             x = blk._finish_attn(bp, x, att)
-            new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
-        return self._norm_logits(params, x), new_cache
+            ks.append(k_cache)
+            vs.append(v_cache)
+        return self._norm_logits(params, x), {
+            "k": jnp.stack(ks), "v": jnp.stack(vs)
+        }

@@ -97,9 +97,16 @@ def llama_param_specs(params: Any) -> Any:
 
 
 def kv_cache_specs(cache: Any) -> Any:
-    """Token-major KV cache [B, T, NKV, HD]: batch on 'data', heads on
-    'model' (matches init_kv_cache layouts)."""
-    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS, None, MODEL_AXIS, None), cache)
+    """Token-major KV cache: batch on 'data', heads on 'model'. Handles both
+    the per-layer [B, T, NKV, HD] layout (GPT-2) and Llama's stacked
+    [L, B, T, NKV, HD] pools (init_kv_cache layouts)."""
+
+    def spec(leaf):
+        if getattr(leaf, "ndim", 4) == 5:
+            return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+        return P(DATA_AXIS, None, MODEL_AXIS, None)
+
+    return jax.tree_util.tree_map(spec, cache)
 
 
 def batch_specs(batch: Any) -> Any:
