@@ -26,27 +26,29 @@ def _interpret_default() -> bool:
 
 
 def _ce_fwd_kernel(logits_ref, targets_ref, loss_ref, *, ignore_index: int):
+    # Row-wise operands are [bm, 1]: jax-0.9 Pallas forbids partial rank-1
+    # blocks, so callers pass targets/loss as column vectors.
     x = logits_ref[...].astype(jnp.float32)  # [bm, V]
-    t = targets_ref[...]  # [bm]
+    t = targets_ref[...]  # [bm, 1]
     m = jnp.max(x, axis=-1, keepdims=True)
     lse = jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True)) + m
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    picked = jnp.sum(jnp.where(cols == t[:, None], x, 0.0), axis=-1)
-    loss = lse[:, 0] - picked
+    picked = jnp.sum(jnp.where(cols == t, x, 0.0), axis=-1, keepdims=True)
+    loss = lse - picked
     loss_ref[...] = jnp.where(t == ignore_index, 0.0, loss)
 
 
 def _ce_bwd_kernel(logits_ref, targets_ref, g_ref, dlogits_ref, *, ignore_index: int):
     x = logits_ref[...].astype(jnp.float32)
-    t = targets_ref[...]
-    gl = g_ref[...].astype(jnp.float32)
+    t = targets_ref[...]  # [bm, 1]
+    gl = g_ref[...].astype(jnp.float32)  # [bm, 1]
     m = jnp.max(x, axis=-1, keepdims=True)
     e = jnp.exp(x - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    onehot = (cols == t[:, None]).astype(jnp.float32)
-    valid = (t != ignore_index).astype(jnp.float32)[:, None]
-    dlogits_ref[...] = ((probs - onehot) * gl[:, None] * valid).astype(
+    onehot = (cols == t).astype(jnp.float32)
+    valid = (t != ignore_index).astype(jnp.float32)
+    dlogits_ref[...] = ((probs - onehot) * gl * valid).astype(
         dlogits_ref.dtype
     )
 
@@ -56,14 +58,8 @@ def _rows_call(kernel, out_shape, logits2, *extra, block_rows, interpret):
     grid = (M // block_rows,)
     in_specs = [pl.BlockSpec((block_rows, V), lambda i: (i, 0))]
     for a in extra:
-        if a.ndim == 1:
-            in_specs.append(pl.BlockSpec((block_rows,), lambda i: (i,)))
-        else:
-            in_specs.append(pl.BlockSpec((block_rows, a.shape[1]), lambda i: (i, 0)))
-    if out_shape.ndim == 1:
-        out_specs = pl.BlockSpec((block_rows,), lambda i: (i,))
-    else:
-        out_specs = pl.BlockSpec((block_rows, V), lambda i: (i, 0))
+        in_specs.append(pl.BlockSpec((block_rows, a.shape[1]), lambda i: (i, 0)))
+    out_specs = pl.BlockSpec((block_rows, out_shape.shape[1]), lambda i: (i, 0))
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -96,13 +92,13 @@ def _fused_ce_impl(logits, targets, ignore_index, block_rows, interpret):
         return _jnp_ce(logits, targets, ignore_index)
     loss = _rows_call(
         functools.partial(_ce_fwd_kernel, ignore_index=ignore_index),
-        jax.ShapeDtypeStruct((M,), jnp.float32),
+        jax.ShapeDtypeStruct((M, 1), jnp.float32),
         logits2,
-        t1,
+        t1[:, None],
         block_rows=block_rows,
         interpret=interpret,
     )
-    return loss.reshape(lead)
+    return loss[:, 0].reshape(lead)
 
 
 def _fce_fwd(logits, targets, ignore_index, block_rows, interpret):
@@ -125,8 +121,8 @@ def _fce_bwd(ignore_index, block_rows, interpret, res, g):
         functools.partial(_ce_bwd_kernel, ignore_index=ignore_index),
         jax.ShapeDtypeStruct((M, V), logits.dtype),
         logits2,
-        t1,
-        g1,
+        t1[:, None],
+        g1[:, None],
         block_rows=block_rows,
         interpret=interpret,
     )
