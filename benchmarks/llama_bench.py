@@ -74,9 +74,14 @@ def scan_decode_fn(model):
         tok, cache, _, acc = jax.lax.fori_loop(
             0, steps, body, (first_token, cache, start_pos, jnp.int32(0))
         )
-        return acc  # scalar fetch forces completion
+        # acc: scalar fetch forces completion. The cache is DONATED and
+        # returned: a non-donated cache argument defeats XLA's in-place
+        # dynamic-update-slice inside the loop — measured 444 us/step of
+        # silent full-cache copies at Llama-1B shapes (benchmarks/r4_dus.py,
+        # the r3 decode regression's root cause).
+        return acc, cache
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(2,))
 
 
 # v5e public spec peaks.
@@ -155,13 +160,18 @@ def bench_decode(model, params, cfg, batch: int, prompt_len: int = 128,
     )(params, prompt, cache)
     token = jnp.zeros((batch, 1), jnp.int32)
     f = scan_decode_fn(model)
-    float(f(params, token, cache2, prompt_len, jnp.int32(2)))  # compile
+    # The cache is donated into every call and threaded back out.
+    acc, cache2 = f(params, token, cache2, prompt_len, jnp.int32(2))
+    float(acc)  # compile + warm
 
     def best(steps, reps=3):
+        nonlocal cache2
         b = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(params, token, cache2, prompt_len, jnp.int32(steps)))
+            acc, cache2 = f(params, token, cache2, prompt_len,
+                            jnp.int32(steps))
+            float(acc)
             b = min(b, time.perf_counter() - t0)
         return b
 

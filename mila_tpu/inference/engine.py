@@ -202,7 +202,7 @@ class InferenceEngine:
         if bucket not in self._prefill_fns:
             model = self.model
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(params, cache, tokens, slot_onehot, true_len):
                 # tokens: [1, bucket]; writes the slot's cache rows.
                 logits, upd = model.forward_with_cache(
@@ -290,7 +290,12 @@ class InferenceEngine:
 
             else:
 
-                @jax.jit
+                # Donating the cache is load-bearing: a non-donated cache
+                # argument defeats in-place DUS inside the scan — measured
+                # 444 us/step of full-cache copies at Llama-1B shapes
+                # (benchmarks/r4_dus.py). The caller reassigns self.cache
+                # from the return value.
+                @functools.partial(jax.jit, donate_argnums=(1,))
                 def decode(params, cache, tokens, positions, keys, greedy_mask, temps):
                     def body(carry, key):
                         toks, cache, pos = carry
@@ -402,7 +407,7 @@ class InferenceEngine:
         if key not in self._prefill_fns:
             dmodel = self.config.draft_model
 
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(1,))
             def prefill(dparams, dcache, tokens, slot_mask):
                 """Batched draft prefill: ONE forward over the whole slot
                 batch (tokens [max_batch, bucket]); rows outside

@@ -260,6 +260,8 @@ def dense_decode_attention(
 
 def _fused_kernel(
     lens_ref,  # SMEM [B] int32: number of OLD cache tokens per row
+    layer_ref,  # SMEM [1] int32: layer id into the stacked cache (dynamic
+    #             so all L layers share ONE compiled kernel)
     q_ref,  # [B, NH, KD] VMEM lane-packed queries, PRE-rope
     qkv_ref,  # [B, NQ+2*KD] VMEM raw fused projection row
     cos_ref,  # [B, KD] f32, full-width tiled
@@ -286,11 +288,11 @@ def _fused_kernel(
     group: int,
     hd: int,
     nq: int,
-    layer: int,
 ):
     blk = pl.program_id(0)
     nh = nkv * group
     kd = nkv * hd
+    layer = layer_ref[0]
     maxlen = lens_ref[0]
     for b in range(1, batch):
         maxlen = jnp.maximum(maxlen, lens_ref[b])
@@ -454,10 +456,10 @@ def fused_decode_attention(
         functools.partial(
             _fused_kernel,
             block_t=bt, num_blocks=num_blocks, sm_scale=sm_scale,
-            batch=B, nkv=NKV, group=G, hd=HD, nq=NQ, layer=layer,
+            batch=B, nkv=NKV, group=G, hd=HD, nq=NQ,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec((B, NH, KD), lambda i, *_: (0, 0, 0)),
@@ -496,7 +498,8 @@ def fused_decode_attention(
             transcendentals=B * NH * T,
         ),
         interpret=False,
-    )(old_lens.astype(jnp.int32), q_pk, qkv, cos_t.astype(jnp.float32),
+    )(old_lens.astype(jnp.int32), jnp.full((1,), layer, jnp.int32),
+      q_pk, qkv, cos_t.astype(jnp.float32),
       sin_t.astype(jnp.float32), k2, v2)
     return att, k_new
 

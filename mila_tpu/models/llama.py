@@ -257,7 +257,12 @@ class LlamaBlock(CompositeModule):
             mask = (kj <= qi)[None].repeat(B, 0)
             att = ops.dot_product_attention(q, k_cache, v_cache,
                                             causal=False, mask=mask)
-        return self._finish_attn(params, x, att), {"k": k_cache, "v": v_cache}
+        # k_new/v_new (the roped new rows) let the caller batch ONE stacked
+        # cache insert for all layers instead of restacking full per-layer
+        # caches (a [L,B,T,NKV,HD] copy per step — advisor r3 finding #3).
+        return self._finish_attn(params, x, att), {
+            "k": k_cache, "v": v_cache, "k_new": k, "v_new": v,
+        }
 
     def output_shape(self, input_shape):
         return tuple(input_shape)
@@ -318,17 +323,19 @@ def pack_decode_mlp(params: dict, *, bn: int = 2048) -> dict:
 
 def pack_decode_layers(params: dict, *, bn: int = 512,
                        num_layers: int = 0) -> dict:
-    """Add the whole-layer megakernel pack (``layer_pack``) to every
-    quantized block: wo+wgu+down of layer i plus wqkv of layer i+1 stacked
-    into one weight stream (kernels/layer_fused.py). Run AFTER
-    fuse_llama_projections + quantize_model_params.
+    """Add the whole-layer decode weight stream (``layer_stream``, one
+    stacked array for EVERY layer): wo+wgu+down of layer i plus wqkv of
+    layer i+1 (kernels/layer_stream.py). Run AFTER fuse_llama_projections +
+    quantize_model_params.
 
     Like :func:`pack_decode_mlp` this keeps the original QTensors for the
     prefill path, trading one extra int8 weight image in HBM for the
-    decode-specialized layout.
+    decode-specialized layout. All-or-nothing: the stream is added only if
+    every layer packs (one compiled kernel serves the whole stack).
     """
     from mila_tpu.inference.quantize import QTensor
     from mila_tpu.kernels.layer_fused import pack_layer
+    from mila_tpu.kernels.layer_stream import pack_layer_stream
 
     def get_qt(blk, name):
         w = blk.get(name, {}).get("weight") if isinstance(blk, dict) else None
@@ -338,23 +345,26 @@ def pack_decode_layers(params: dict, *, bn: int = 512,
         (n for n in params if n.startswith("h") and n[1:].isdigit()),
         key=lambda n: int(n[1:]),
     )
-    out = dict(params)
+    packs = []
     for idx, name in enumerate(layer_names):
         blk = params[name]
         wo, wgu, down = (get_qt(blk, k) for k in ("wo", "wgu", "down"))
         if not all((wo, wgu, down)):
-            continue
+            return params
         wqkv_next = None
         if idx + 1 < len(layer_names):
             wqkv_next = get_qt(params[layer_names[idx + 1]], "wqkv")
             if wqkv_next is None:
-                continue  # chain broken: next layer can't be fed
+                return params  # chain broken: next layer can't be fed
         pack = pack_layer(wo, wgu, down, wqkv_next, bn=bn)
         if pack is None:
-            continue
-        b = dict(blk)
-        b["layer_pack"] = pack
-        out[name] = b
+            return params
+        packs.append(pack)
+    stream = pack_layer_stream(packs)
+    if stream is None:
+        return params
+    out = dict(params)
+    out["layer_stream"] = stream
     return out
 
 
@@ -518,13 +528,7 @@ class Llama(CompositeModule):
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)
         positions = pos + jnp.arange(t)[None].repeat(B, 0)
         cos, sin = self._rope(positions)
-        if (
-            t == 1
-            and B <= 32
-            and all(
-                "layer_pack" in params[f"h{i}"] for i in range(cfg.num_layers)
-            )
-        ):
+        if t == 1 and B <= 32 and "layer_stream" in params:
             return self._backbone_fused_decode(params, x, cache, pos, cos, sin)
         ks, vs = [], []
         for i in range(cfg.num_layers):
@@ -532,9 +536,22 @@ class Llama(CompositeModule):
             x, lc = self.get(f"h{i}").apply_with_cache(
                 params[f"h{i}"], x, lview, pos, cos, sin
             )
-            ks.append(lc["k"])
-            vs.append(lc["v"])
-        return x, {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+            ks.append(lc["k_new"])
+            vs.append(lc["v_new"])
+        # One batched insert of the new rows for every layer — the full
+        # per-layer caches are dead after their attention read, so XLA
+        # needn't materialize a stacked copy (advisor r3 finding #3).
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], jnp.stack(ks).astype(cache["k"].dtype),
+                (0, 0, pos, 0, 0),
+            ),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], jnp.stack(vs).astype(cache["v"].dtype),
+                (0, 0, pos, 0, 0),
+            ),
+        }
+        return x, new_cache
 
     def _backbone_fused_decode(self, params, x, cache, pos, cos, sin):
         """Two-kernel-per-layer megakernel decode: [dense attention] ->
@@ -548,7 +565,7 @@ class Llama(CompositeModule):
             fused_decode_attention,
             pack_queries,
         )
-        from mila_tpu.kernels.layer_fused import mlp_qkv_fused
+        from mila_tpu.kernels.layer_stream import layer_tail_stream
 
         B = x.shape[0]
         NH, NKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.hd
@@ -582,9 +599,9 @@ class Llama(CompositeModule):
                 params[f"h{i + 1}"]["ln_attn"]["gamma"]
                 if i + 1 < cfg.num_layers else None
             )
-            x, qkv = mlp_qkv_fused(
+            x, qkv = layer_tail_stream(
                 att.reshape(B, 1, NQ), x, bp["ln_mlp"]["gamma"],
-                bp["layer_pack"], gamma_next, eps=cfg.rms_eps,
+                params["layer_stream"], i, gamma_next, eps=cfg.rms_eps,
             )
         # ONE batched insert for every layer (the kernel already folded the
         # current token in-register, so the write is off the critical path).
@@ -750,8 +767,17 @@ class Llama(CompositeModule):
                 q, k_cache, v_cache, (positions + 1).astype(jnp.int32)
             )
             x = blk._finish_attn(bp, x, att)
-            ks.append(k_cache)
-            vs.append(v_cache)
-        return self._norm_logits(params, x), {
-            "k": jnp.stack(ks), "v": jnp.stack(vs)
+            ks.append(k[:, 0])
+            vs.append(v[:, 0])
+        # One batched scatter of the new rows for every layer (the full
+        # per-layer caches are dead after their attention read — advisor
+        # r3 finding #3).
+        new_cache = {
+            "k": cache["k"].at[:, rows, positions].set(
+                jnp.stack(ks).astype(cache["k"].dtype)
+            ),
+            "v": cache["v"].at[:, rows, positions].set(
+                jnp.stack(vs).astype(cache["v"].dtype)
+            ),
         }
+        return self._norm_logits(params, x), new_cache

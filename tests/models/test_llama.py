@@ -200,11 +200,9 @@ class TestFusedProjections:
             fuse_llama_projections(params), "int8", min_size=1024
         )
         packed = pack_decode_layers(fused_q, bn=128)
-        assert all(
-            "layer_pack" in packed[f"h{i}"] for i in range(cfg.num_layers)
-        )
-        assert packed["h0"]["layer_pack"].n_qkv > 0
-        assert packed[f"h{cfg.num_layers - 1}"]["layer_pack"].n_qkv == 0
+        assert "layer_stream" in packed
+        assert packed["layer_stream"].n_layers == cfg.num_layers
+        assert packed["layer_stream"].n_qkv > 0
         toks = jnp.array([[2, 4, 6], [1, 3, 5]], jnp.int32)
         cache1 = model.init_kv_cache(2, 16, jnp.float32)
         cache2 = model.init_kv_cache(2, 16, jnp.float32)
