@@ -210,10 +210,10 @@ def bench_paged_decode() -> dict:
     B, NKV, NH, HD, ps, pages_per = 8, 8, 32, 64, 128, 16
     npages = B * pages_per + 1
     key = jax.random.key(0)
-    # Transposed page layout [NKV, P, HD, ps] — what the engine's KVPagePool
-    # allocates (inference/kv_cache.py) and the kernel expects.
-    kp = jax.random.normal(key, (NKV, npages, HD, ps), jnp.bfloat16)
-    vp = jax.random.normal(key, (NKV, npages, HD, ps), jnp.bfloat16)
+    # Page-major layout [P, NKV, HD, ps] — what the engine's page pools
+    # allocate (inference/kv_cache.py) and the kernel expects.
+    kp = jax.random.normal(key, (npages, NKV, HD, ps), jnp.bfloat16)
+    vp = jax.random.normal(key, (npages, NKV, HD, ps), jnp.bfloat16)
     table = (1 + jnp.arange(B * pages_per, dtype=jnp.int32)).reshape(B, pages_per)
     lens = jnp.full((B,), ps * pages_per, jnp.int32)
     q = jax.random.normal(key, (B, 1, NH, HD), jnp.bfloat16)
@@ -419,12 +419,12 @@ def kernel_check() -> dict:
               rtol=5e-3, atol=5e-3)
 
     def sec_paged():
-        # Transposed page layout [NKV, P, HD, ps] — the engine's layout
+        # Page-major layout [P, NKV, HD, ps] — the engine's layout
         # (inference/kv_cache.py), bf16 and int8-KV variants.
         B, NKV, NH, HD, ps, W = 4, 2, 4, 64, 128, 4
-        kp = jax.random.normal(key, (NKV, B * W + 1, HD, ps), jnp.bfloat16)
+        kp = jax.random.normal(key, (B * W + 1, NKV, HD, ps), jnp.bfloat16)
         vp = jax.random.normal(jax.random.fold_in(key, 3),
-                               (NKV, B * W + 1, HD, ps), jnp.bfloat16)
+                               (B * W + 1, NKV, HD, ps), jnp.bfloat16)
         table = (1 + jnp.arange(B * W, dtype=jnp.int32)).reshape(B, W)
         lens = jnp.array([ps * W, ps * 2 + 7, 1, ps], jnp.int32)
         qd = jax.random.normal(key, (B, 1, NH, HD), jnp.bfloat16)
@@ -434,14 +434,14 @@ def kernel_check() -> dict:
 
     def sec_paged_int8():
         B, NKV, NH, HD, ps, W = 4, 2, 4, 64, 128, 4
-        kq = jax.random.randint(key, (NKV, B * W + 1, HD, ps), -127, 128,
+        kq = jax.random.randint(key, (B * W + 1, NKV, HD, ps), -127, 128,
                                 jnp.int8)
         vq = jax.random.randint(jax.random.fold_in(key, 3),
-                                (NKV, B * W + 1, HD, ps), -127, 128, jnp.int8)
+                                (B * W + 1, NKV, HD, ps), -127, 128, jnp.int8)
         ks = jax.random.uniform(jax.random.fold_in(key, 6),
-                                (NKV, B * W + 1, ps), jnp.float32, 0.005, 0.02)
+                                (B * W + 1, NKV, ps), jnp.float32, 0.005, 0.02)
         vs = jax.random.uniform(jax.random.fold_in(key, 7),
-                                (NKV, B * W + 1, ps), jnp.float32, 0.005, 0.02)
+                                (B * W + 1, NKV, ps), jnp.float32, 0.005, 0.02)
         table = (1 + jnp.arange(B * W, dtype=jnp.int32)).reshape(B, W)
         lens = jnp.array([ps * W, ps * 2 + 7, 1, ps], jnp.int32)
         qd = jax.random.normal(key, (B, 1, NH, HD), jnp.bfloat16)
@@ -499,6 +499,70 @@ def kernel_check() -> dict:
     }
 
 
+def preflight() -> dict:
+    """Round-end guard (VERDICT r3 item 9): on-chip kernel equivalence plus
+    a short REAL decode (2-layer 1B-config, int8 megakernel path) that must
+    produce finite logits. Run before any perf-path commit is considered
+    done; exits nonzero on any failure."""
+    import jax
+    import jax.numpy as jnp
+
+    import mila_tpu
+    from mila_tpu.inference.quantize import quantize_model_params
+    from mila_tpu.models.llama import (
+        Llama, LlamaConfig, add_quantized_lm_head, fuse_llama_projections,
+        pack_decode_layers,
+    )
+
+    mila_tpu.initialize(0)
+    kc = kernel_check()
+    ok = kc["value"] == int(kc["unit"].split()[1])
+
+    cfg = LlamaConfig.llama32_1b().replace(
+        max_seq_len=256, num_layers=2, param_dtype="bfloat16"
+    )
+    model = Llama(cfg)
+    params = model.init(jax.random.key(0), (1, 16))
+    qparams = pack_decode_layers(add_quantized_lm_head(
+        quantize_model_params(fuse_llama_projections(params), "int8"), "int8"
+    ))
+    decode_ok = False
+    try:
+        cache = model.init_kv_cache(2, 128, jnp.bfloat16)
+        toks = jnp.array([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]], jnp.int32)
+        logits, cache = jax.jit(model.forward_with_cache)(
+            qparams, toks, cache, 0
+        )
+        step = jax.jit(model.forward_with_cache, donate_argnums=(2,))
+        nxt = jnp.argmax(logits[:, -1:, : cfg.vocab_size], -1).astype(jnp.int32)
+        for pos in (5, 6, 7):
+            logits, cache = step(qparams, nxt, cache, pos)
+            nxt = jnp.argmax(
+                logits[:, -1:, : cfg.vocab_size], -1
+            ).astype(jnp.int32)
+        import numpy as np
+
+        decode_ok = bool(np.isfinite(np.asarray(logits, np.float32)).all())
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        kc["detail"]["decode_smoke"] = {"pass": False,
+                                        "error": f"{type(e).__name__}: {e}"[:200]}
+    kc["detail"]["decode_smoke"] = kc["detail"].get(
+        "decode_smoke", {"pass": decode_ok}
+    )
+    result = {
+        "metric": "preflight",
+        "value": int(ok and decode_ok),
+        "unit": "1 = all kernel checks + decode smoke pass",
+        "vs_baseline": float(ok and decode_ok),
+        "detail": kc["detail"],
+    }
+    print(json.dumps(result))
+    if not (ok and decode_ok):
+        raise SystemExit(1)
+    return result
+
+
 BENCHES = {
     "llama": bench_llama_decode,
     "mnist": bench_mnist_training,
@@ -512,8 +576,11 @@ BENCHES = {
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="auto",
-                    choices=["auto", *BENCHES, "all"])
+                    choices=["auto", *BENCHES, "all", "preflight"])
     args = ap.parse_args()
+    if args.what == "preflight":
+        preflight()
+        return 0
     if args.what == "all":
         for name, fn in BENCHES.items():
             try:

@@ -10,7 +10,7 @@ program reused for every step.
 Two KV layouts share the engine logic:
 
 - ``paged`` (default for models with a paged forward): HBM page pools
-  [L, NKV, P, HD, ps] + host-side :class:`PageAllocator`; decode reads pages
+  [L, P, NKV, HD, ps] + host-side :class:`PageAllocator`; decode reads pages
   through the Pallas paged-attention kernel, admission prefills a whole
   bucket batch in ONE jitted call and writes pages through the table.
 - ``contiguous``: per-slot [max_batch, maxT] caches (simpler; what the

@@ -67,19 +67,20 @@ def kv_quantize(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def make_paged_pools(num_layers: int, num_kv_heads: int, head_dim: int,
                      num_pages: int, page_size: int, dtype) -> dict:
-    """Page pools [L, NKV, P, HD, ps] (head-major, TRANSPOSED pages: one DMA
-    per (head, page) whose minor dim is the 128-token page — Mosaic requires
-    128-aligned minor slices, and q @ k^T wants K transposed anyway).
+    """Page pools [L, P, NKV, HD, ps] (PAGE-major, TRANSPOSED token-minor
+    pages: one page = one contiguous [NKV*HD, ps] DMA covering every head —
+    the kernel's slab unit; tokens on the minor axis keep the DMA slices
+    128-aligned for HD < 128 and make q @ k^T direct).
 
-    int8 dtype adds per-(head, page, token) scale planes [L, NKV, P, ps] —
+    int8 dtype adds per-(page, head, token) scale planes [L, P, NKV, ps] —
     the quantized-KV layout (halves the decode KV stream; BASELINE
     "quantized-paged" design).
     """
     dt = jnp.dtype(dtype)
-    shape = (num_layers, num_kv_heads, num_pages, head_dim, page_size)
+    shape = (num_layers, num_pages, num_kv_heads, head_dim, page_size)
     pools = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
     if dt == jnp.int8:
-        sshape = (num_layers, num_kv_heads, num_pages, page_size)
+        sshape = (num_layers, num_pages, num_kv_heads, page_size)
         pools["k_scale"] = jnp.zeros(sshape, jnp.float32)
         pools["v_scale"] = jnp.zeros(sshape, jnp.float32)
     return pools
@@ -90,26 +91,24 @@ def paged_scatter(pools: dict, layer: int, page_ids, offs, k, v) -> dict:
 
     ``page_ids``/``offs`` are index arrays with leading dims matching k/v's
     leading dims ([B] for decode, [B, T] for prefill); k/v are
-    [..., NKV, HD]. NB: the static ``layer`` index is an *advanced* index
-    separated from the index arrays by the head-axis slice, so the index
-    dims land at the FRONT of the updated slice — exactly k/v's natural
-    layout, no transpose needed. Pages store tokens on the MINOR (lane)
-    axis ([HD, ps], see :func:`make_paged_pools`), so the written slice is
-    [..., NKV, HD] with ``offs`` indexing the last pool axis.
+    [..., NKV, HD]. The index arrays land the indexed dims at the FRONT of
+    the updated slice — exactly k/v's natural layout. Pages store tokens on
+    the MINOR (lane) axis ([NKV, HD, ps], see :func:`make_paged_pools`), so
+    ``offs`` indexes the last pool axis.
     """
     pools = dict(pools)
     if "k_scale" in pools:
         qk, sk = kv_quantize(k)
         qv, sv = kv_quantize(v)
-        pools["k"] = pools["k"].at[layer, :, page_ids, :, offs].set(qk)
-        pools["v"] = pools["v"].at[layer, :, page_ids, :, offs].set(qv)
-        pools["k_scale"] = pools["k_scale"].at[layer, :, page_ids, offs].set(sk)
-        pools["v_scale"] = pools["v_scale"].at[layer, :, page_ids, offs].set(sv)
+        pools["k"] = pools["k"].at[layer, page_ids, :, :, offs].set(qk)
+        pools["v"] = pools["v"].at[layer, page_ids, :, :, offs].set(qv)
+        pools["k_scale"] = pools["k_scale"].at[layer, page_ids, :, offs].set(sk)
+        pools["v_scale"] = pools["v_scale"].at[layer, page_ids, :, offs].set(sv)
         return pools
-    pools["k"] = pools["k"].at[layer, :, page_ids, :, offs].set(
+    pools["k"] = pools["k"].at[layer, page_ids, :, :, offs].set(
         k.astype(pools["k"].dtype)
     )
-    pools["v"] = pools["v"].at[layer, :, page_ids, :, offs].set(
+    pools["v"] = pools["v"].at[layer, page_ids, :, :, offs].set(
         v.astype(pools["v"].dtype)
     )
     return pools

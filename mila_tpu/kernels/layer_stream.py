@@ -301,7 +301,7 @@ def layer_tail_stream(
     while (tps * 2 * tile_bytes <= 2 * 1024 * 1024
            and n_tiles % (tps * 2) == 0):
         tps *= 2
-    depth = max(2, min(4, (8 * 1024 * 1024) // (tps * tile_bytes)))
+    depth = 2  # Mosaic supports at most double buffering (jax 0.9)
     n_steps = n_tiles // tps
     kern = functools.partial(
         _stream_kernel,

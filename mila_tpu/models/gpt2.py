@@ -265,7 +265,7 @@ class GPT2(CompositeModule):
 
     def init_paged_cache(self, num_pages: int, page_size: int = 128,
                          dtype=jnp.bfloat16) -> dict:
-        """Page pools [L, NH, P, ps, HS] (head-major kernel layout)."""
+        """Page pools [L, P, NH, HS, ps] (page-major kernel layout)."""
         from mila_tpu.inference.kv_cache import make_paged_pools
 
         cfg: GPT2Config = self.config

@@ -257,12 +257,7 @@ class LlamaBlock(CompositeModule):
             mask = (kj <= qi)[None].repeat(B, 0)
             att = ops.dot_product_attention(q, k_cache, v_cache,
                                             causal=False, mask=mask)
-        # k_new/v_new (the roped new rows) let the caller batch ONE stacked
-        # cache insert for all layers instead of restacking full per-layer
-        # caches (a [L,B,T,NKV,HD] copy per step — advisor r3 finding #3).
-        return self._finish_attn(params, x, att), {
-            "k": k_cache, "v": v_cache, "k_new": k, "v_new": v,
-        }
+        return self._finish_attn(params, x, att), {"k": k_cache, "v": v_cache}
 
     def output_shape(self, input_shape):
         return tuple(input_shape)
@@ -505,20 +500,17 @@ class Llama(CompositeModule):
     def init_kv_cache(self, batch_size: int, max_len: int = 0, dtype=jnp.bfloat16) -> dict:
         cfg: LlamaConfig = self.config
         maxT = max_len or min(cfg.max_seq_len, 4096)
-        # STACKED token-major layout [L, B, maxT, NKV, HD]: one decode step
-        # inserts ALL layers' new k/v with a single dynamic_update_slice pair
-        # (per-layer DUS fusions cost ~4-5us each on the tunneled v5e — 32 of
-        # them dominated the decode glue). Kernels index the stacked pool by
-        # a static layer id and read rows as [B, T, NKV*HD] (free reshape).
+        # PER-LAYER token-major caches {"h{i}": {"k","v"} [B, maxT, NKV, HD]}.
+        # Each layer's cache is its own carried buffer, so the per-step
+        # insert is an in-place dynamic_update_slice. (The r3 stacked
+        # [L, B, T, NKV, HD] pool forced every in-loop update to copy the
+        # whole 134MB pool — any DUS whose operand is a slice of a live
+        # stacked array materializes it; benchmarks/r4_dus.py v5 vs v7.)
+        shape = (batch_size, maxT, cfg.num_kv_heads, cfg.hd)
         return {
-            "k": jnp.zeros(
-                (cfg.num_layers, batch_size, maxT, cfg.num_kv_heads, cfg.hd),
-                dtype,
-            ),
-            "v": jnp.zeros(
-                (cfg.num_layers, batch_size, maxT, cfg.num_kv_heads, cfg.hd),
-                dtype,
-            ),
+            f"h{i}": {"k": jnp.zeros(shape, dtype),
+                      "v": jnp.zeros(shape, dtype)}
+            for i in range(cfg.num_layers)
         }
 
     def _backbone_with_cache(self, params, tokens, cache, pos):
@@ -530,27 +522,12 @@ class Llama(CompositeModule):
         cos, sin = self._rope(positions)
         if t == 1 and B <= 32 and "layer_stream" in params:
             return self._backbone_fused_decode(params, x, cache, pos, cos, sin)
-        ks, vs = [], []
+        new_cache = {}
         for i in range(cfg.num_layers):
-            lview = {"k": cache["k"][i], "v": cache["v"][i]}
             x, lc = self.get(f"h{i}").apply_with_cache(
-                params[f"h{i}"], x, lview, pos, cos, sin
+                params[f"h{i}"], x, cache[f"h{i}"], pos, cos, sin
             )
-            ks.append(lc["k_new"])
-            vs.append(lc["v_new"])
-        # One batched insert of the new rows for every layer — the full
-        # per-layer caches are dead after their attention read, so XLA
-        # needn't materialize a stacked copy (advisor r3 finding #3).
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], jnp.stack(ks).astype(cache["k"].dtype),
-                (0, 0, pos, 0, 0),
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], jnp.stack(vs).astype(cache["v"].dtype),
-                (0, 0, pos, 0, 0),
-            ),
-        }
+            new_cache[f"h{i}"] = lc
         return x, new_cache
 
     def _backbone_fused_decode(self, params, x, cache, pos, cos, sin):
@@ -584,17 +561,33 @@ class Llama(CompositeModule):
             x, params["h0"]["ln_attn"]["gamma"], params["h0"]["wqkv"]["weight"],
             eps=cfg.rms_eps,
         )
-        kns, vns = [], []
+        new_cache = {}
         for i in range(cfg.num_layers):
             bp = params[f"h{i}"]
+            lc = cache[f"h{i}"]
             qkv2 = qkv.reshape(B, NQ + 2 * KD)
             q_pk = pack_queries(qkv2[:, :NQ].reshape(B, NH, HD), NKV)
             att, k_new = fused_decode_attention(
-                qkv2, q_pk, cos_t, sin_t, cache["k"], cache["v"], old_lens,
-                num_heads=NH, layer=i,
+                qkv2, q_pk, cos_t, sin_t, lc["k"], lc["v"], old_lens,
+                num_heads=NH,
             )
-            kns.append(k_new.reshape(B, NKV, HD))
-            vns.append(qkv2[:, NQ + KD :].reshape(B, NKV, HD))
+            # The kernel folded the current token in-register, so each
+            # layer's insert is off the attention critical path and lands
+            # in place on that layer's own carried buffer.
+            new_cache[f"h{i}"] = {
+                "k": jax.lax.dynamic_update_slice(
+                    lc["k"],
+                    k_new.reshape(B, 1, NKV, HD).astype(lc["k"].dtype),
+                    (0, pos, 0, 0),
+                ),
+                "v": jax.lax.dynamic_update_slice(
+                    lc["v"],
+                    qkv2[:, NQ + KD :].reshape(B, 1, NKV, HD).astype(
+                        lc["v"].dtype
+                    ),
+                    (0, pos, 0, 0),
+                ),
+            }
             gamma_next = (
                 params[f"h{i + 1}"]["ln_attn"]["gamma"]
                 if i + 1 < cfg.num_layers else None
@@ -603,21 +596,6 @@ class Llama(CompositeModule):
                 att.reshape(B, 1, NQ), x, bp["ln_mlp"]["gamma"],
                 params["layer_stream"], i, gamma_next, eps=cfg.rms_eps,
             )
-        # ONE batched insert for every layer (the kernel already folded the
-        # current token in-register, so the write is off the critical path).
-        L = cfg.num_layers
-        new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"],
-                jnp.stack(kns)[:, :, None].astype(cache["k"].dtype),
-                (0, 0, pos, 0, 0),
-            ),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"],
-                jnp.stack(vns)[:, :, None].astype(cache["v"].dtype),
-                (0, 0, pos, 0, 0),
-            ),
-        }
         return x, new_cache
 
     def forward_with_cache(self, params, tokens, cache, pos):
@@ -628,8 +606,8 @@ class Llama(CompositeModule):
 
     def init_paged_cache(self, num_pages: int, page_size: int = 128,
                          dtype=jnp.bfloat16) -> dict:
-        """Page pools [L, NKV, P, HD, ps] (head-major, transposed pages: one DMA per (head,
-        page) in :func:`mila_tpu.kernels.paged_attention.paged_decode_attention`)."""
+        """Page pools [L, P, NKV, HD, ps] (page-major, transposed pages: one DMA
+        per page in :func:`mila_tpu.kernels.paged_attention.paged_decode_attention`)."""
         from mila_tpu.inference.kv_cache import make_paged_pools
 
         cfg: LlamaConfig = self.config
@@ -748,18 +726,20 @@ class Llama(CompositeModule):
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B,1,H]
         cos, sin = self._rope(positions[:, None])
         rows = jnp.arange(B)
-        ks, vs = [], []
+        new_cache = {}
         for i in range(cfg.num_layers):
             blk = self.get(f"h{i}")
             bp = params[f"h{i}"]
+            lc = cache[f"h{i}"]
             q, k, v = blk._qkv(bp, x)
             q = ops.apply_rope(q, cos, sin)
             k = ops.apply_rope(k, cos, sin)
-            k_cache = cache["k"][i].at[rows, positions].set(
-                k[:, 0].astype(cache["k"].dtype)
+            # In-place scatter on this layer's own carried buffer.
+            k_cache = lc["k"].at[rows, positions].set(
+                k[:, 0].astype(lc["k"].dtype)
             )
-            v_cache = cache["v"][i].at[rows, positions].set(
-                v[:, 0].astype(cache["v"].dtype)
+            v_cache = lc["v"].at[rows, positions].set(
+                v[:, 0].astype(lc["v"].dtype)
             )
             from mila_tpu.kernels.dense_attention import dense_decode_attention
 
@@ -767,17 +747,5 @@ class Llama(CompositeModule):
                 q, k_cache, v_cache, (positions + 1).astype(jnp.int32)
             )
             x = blk._finish_attn(bp, x, att)
-            ks.append(k[:, 0])
-            vs.append(v[:, 0])
-        # One batched scatter of the new rows for every layer (the full
-        # per-layer caches are dead after their attention read — advisor
-        # r3 finding #3).
-        new_cache = {
-            "k": cache["k"].at[:, rows, positions].set(
-                jnp.stack(ks).astype(cache["k"].dtype)
-            ),
-            "v": cache["v"].at[:, rows, positions].set(
-                jnp.stack(vs).astype(cache["v"].dtype)
-            ),
-        }
+            new_cache[f"h{i}"] = {"k": k_cache, "v": v_cache}
         return self._norm_logits(params, x), new_cache

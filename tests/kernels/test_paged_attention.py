@@ -2,8 +2,8 @@
 
 The DMA/semaphore fast path needs real TPU hardware; its on-hardware
 validation lives in benchmarks/kernel_bench.py + the TPU smoke script.
-Here we pin the wrapper contract (head-major page layout, padding, masks)
-against the gather oracle.
+Here we pin the wrapper contract (page-major [P, NKV, HD, ps] layout,
+padding, masks) against the gather oracle.
 """
 
 import jax
@@ -18,8 +18,8 @@ from mila_tpu.ops import decode_attention
 
 def _setup(key, B=2, NKV=2, NH=4, HD=64, P=16, ps=8, lens=(10, 17)):
     k1, k2, k3 = jax.random.split(key, 3)
-    k_pages = jax.random.normal(k1, (NKV, P, HD, ps))
-    v_pages = jax.random.normal(k2, (NKV, P, HD, ps))
+    k_pages = jax.random.normal(k1, (P, NKV, HD, ps))
+    v_pages = jax.random.normal(k2, (P, NKV, HD, ps))
     W = 4
     table = jax.random.permutation(k3, P)[: B * W].reshape(B, W)
     q = jax.random.normal(jax.random.fold_in(key, 9), (B, 1, NH, HD))
@@ -31,7 +31,7 @@ class TestPagedDecode:
         q, kp, vp, table, lens = _setup(rng_key)
         out = paged_decode_attention(q, kp, vp, table, lens)
         ref = paged_decode_attention_ref(
-            q, kp.transpose(1, 3, 0, 2), vp.transpose(1, 3, 0, 2), table, lens
+            q, kp.transpose(0, 3, 1, 2), vp.transpose(0, 3, 1, 2), table, lens
         )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
@@ -42,8 +42,8 @@ class TestPagedDecode:
         B, W = table.shape
         ps = kp.shape[3]
         # Build the contiguous equivalent by page lookup.
-        k_cont = kp.transpose(1, 3, 0, 2)[table].reshape(B, W * ps, kp.shape[0], kp.shape[2])
-        v_cont = vp.transpose(1, 3, 0, 2)[table].reshape(B, W * ps, vp.shape[0], vp.shape[2])
+        k_cont = kp.transpose(0, 3, 1, 2)[table].reshape(B, W * ps, kp.shape[1], kp.shape[2])
+        v_cont = vp.transpose(0, 3, 1, 2)[table].reshape(B, W * ps, vp.shape[1], vp.shape[2])
         ref = decode_attention(q, k_cont, v_cont, lens)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
@@ -62,8 +62,8 @@ class TestPagedDecode:
         vp_p = vp
         for b, ln in enumerate((5, 9)):
             page = int(table[b, (ln // ps)])
-            kp_p = kp_p.at[:, page, :, ln % ps:].add(1e5)
-            vp_p = vp_p.at[:, page, :, ln % ps:].add(1e5)
+            kp_p = kp_p.at[page, :, :, ln % ps:].add(1e5)
+            vp_p = vp_p.at[page, :, :, ln % ps:].add(1e5)
         out2 = paged_decode_attention(q, kp_p, vp_p, table, lens)
         np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-4)
 
@@ -71,6 +71,6 @@ class TestPagedDecode:
         q, kp, vp, table, lens = _setup(rng_key, NKV=2, NH=8)
         out = paged_decode_attention(q, kp, vp, table, lens)
         ref = paged_decode_attention_ref(
-            q, kp.transpose(1, 3, 0, 2), vp.transpose(1, 3, 0, 2), table, lens
+            q, kp.transpose(0, 3, 1, 2), vp.transpose(0, 3, 1, 2), table, lens
         )
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -217,8 +217,8 @@ class TestFusedProjections:
         )
         # Caches stayed in sync through the fused step (stacked [L,B,T,...]).
         np.testing.assert_allclose(
-            np.asarray(c1b["k"][0], np.float32),
-            np.asarray(c2b["k"][0], np.float32), rtol=2e-2, atol=2e-2,
+            np.asarray(c1b["h0"]["k"], np.float32),
+            np.asarray(c2b["h0"]["k"], np.float32), rtol=2e-2, atol=2e-2,
         )
         # And another fused step chains off the fused cache.
         d3, _ = model.forward_with_cache(packed, nxt, c2b, 4)
