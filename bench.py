@@ -347,9 +347,9 @@ def kernel_check() -> dict:
         qkv = jax.random.normal(jax.random.fold_in(key, 20),
                                 (Bq, NQ + 2 * KD), jnp.bfloat16)
         kc = jax.random.normal(jax.random.fold_in(key, 23),
-                               (1, Bq, Tq, NKVq, HDq), jnp.bfloat16)
+                               (Bq, Tq, NKVq, HDq), jnp.bfloat16)
         vc = jax.random.normal(jax.random.fold_in(key, 24),
-                               (1, Bq, Tq, NKVq, HDq), jnp.bfloat16)
+                               (Bq, Tq, NKVq, HDq), jnp.bfloat16)
         old_lens = jnp.array([5, 128, 200, 255], jnp.int32)
         d2 = HDq // 2
         inv = 1.0 / (10000.0 ** (jnp.arange(d2, dtype=jnp.float32) / d2))
@@ -358,15 +358,19 @@ def kernel_check() -> dict:
         cos_t = jnp.tile(jnp.concatenate([c2, c2], -1), (1, NKVq))
         sin_t = jnp.tile(jnp.concatenate([-s2, s2], -1), (1, NKVq))
         q_pk = pack_queries(qkv[:, :NQ].reshape(Bq, NHq, HDq), NKVq)
-        got_att, got_kn = fused_decode_attention(
+        got_att, got_kn, got_kc, got_vc = fused_decode_attention(
             qkv, q_pk, cos_t, sin_t, kc, vc, old_lens,
-            num_heads=NHq, layer=0, interpret=False)
-        want_att, want_kn = fused_decode_attention(
+            num_heads=NHq, interpret=False)
+        want_att, want_kn, want_kc, want_vc = fused_decode_attention(
             qkv, q_pk, cos_t, sin_t, kc, vc, old_lens,
-            num_heads=NHq, layer=0, interpret=True)
+            num_heads=NHq, interpret=True)
         check("fused_decode_attention", got_att, want_att,
               rtol=2e-2, atol=2e-2)
         check("fused_decode_attention_knew", got_kn, want_kn,
+              rtol=2e-2, atol=2e-2)
+        check("fused_decode_attention_cache_wb", got_kc, want_kc,
+              rtol=2e-2, atol=2e-2)
+        check("fused_decode_attention_cache_wb_v", got_vc, want_vc,
               rtol=2e-2, atol=2e-2)
 
     def sec_layer_tail():

@@ -77,17 +77,17 @@ def main():
 
     # --- fused decode attention (stacked cache, in-kernel rope) ---
     qkv = jax.random.normal(key, (B, NQ + 2 * KD), jnp.bfloat16)
-    kc = jax.random.normal(key, (L, B, T, NKV, HD), jnp.bfloat16)
-    vc = jax.random.normal(key, (L, B, T, NKV, HD), jnp.bfloat16)
+    kc = jax.random.normal(key, (B, T, NKV, HD), jnp.bfloat16)
+    vc = jax.random.normal(key, (B, T, NKV, HD), jnp.bfloat16)
     old_lens = jnp.full((B,), live, jnp.int32)
     cos_t = jnp.ones((B, KD), jnp.float32)
     sin_t = jnp.zeros((B, KD), jnp.float32)
 
     def att_step(qkv):
         q_pk = pack_queries(qkv[:, :NQ].reshape(B, NH, HD), NKV)
-        a, kn = fused_decode_attention(
+        a, kn, _kc, _vc = fused_decode_attention(
             qkv, q_pk, cos_t, sin_t, kc, vc, old_lens,
-            num_heads=NH, layer=0, interpret=False)
+            num_heads=NH, interpret=False)
         return a.reshape(B, NQ) + kn[:, :1] * 0
 
     # live rows rounded up to the 128-block the kernel actually streams

@@ -40,19 +40,23 @@ def build():
              for _ in range(L - 1)]
     packs.append(pack_layer(wo_q, wgu_q, down_q, None, bn=512))
     stream = pack_layer_stream(packs)
-    caches = [
-        {"k": jax.random.normal(jax.random.fold_in(key, 100 + i),
-                                (B, T, NKV, HD), jnp.bfloat16),
-         "v": jax.random.normal(jax.random.fold_in(key, 200 + i),
-                                (B, T, NKV, HD), jnp.bfloat16)}
-        for i in range(L)
-    ]
+
+    def make_caches():
+        return [
+            {"k": jax.random.normal(jax.random.fold_in(key, 100 + i),
+                                    (B, T, NKV, HD), jnp.bfloat16),
+             "v": jax.random.normal(jax.random.fold_in(key, 200 + i),
+                                    (B, T, NKV, HD), jnp.bfloat16)}
+            for i in range(L)
+        ]
+
     gm = jnp.ones((H,), jnp.float32)
-    return stream, caches, gm
+    return stream, make_caches, gm
 
 
-def run_variant(name, stream, caches, gm, *, att_on=True, tail_on=True,
+def run_variant(name, stream, make_caches, gm, *, att_on=True, tail_on=True,
                 pack_on=True, dus_on=True):
+    caches = make_caches()
     from mila_tpu.kernels.dense_attention import (
         fused_decode_attention, pack_queries,
     )
@@ -64,7 +68,10 @@ def run_variant(name, stream, caches, gm, *, att_on=True, tail_on=True,
     const_qpk = jnp.ones((B, NH, KD), jnp.bfloat16)
     const_att = jnp.ones((B, NH, HD), jnp.bfloat16)
 
+    nonlocal_stream = [stream]
+
     def step(x, qkv, caches):
+        stream = nonlocal_stream[0]
         new_caches = []
         for i in range(L):
             lc = caches[i]
@@ -74,9 +81,10 @@ def run_variant(name, stream, caches, gm, *, att_on=True, tail_on=True,
             else:
                 q_pk = const_qpk + qkv2[:, :1, None] * 0
             if att_on:
-                att, k_new = fused_decode_attention(
+                att, k_new, kco, vco = fused_decode_attention(
                     qkv2, q_pk, cos_t, sin_t, lc["k"], lc["v"], old_lens,
                     num_heads=NH)
+                lc = {"k": kco, "v": vco}
             else:
                 att = const_att + q_pk[:, :, :HD] * 0
                 k_new = qkv2[:, NQ : NQ + KD]
@@ -102,25 +110,38 @@ def run_variant(name, stream, caches, gm, *, att_on=True, tail_on=True,
                 qkv = qkv + x[:, :1] * 0
         return x, qkv, new_caches
 
-    # Caches are CLOSED OVER and enter the fori carry from constants — the
-    # in-place-update regime the model runs in when its cache is donated
-    # (benchmarks/r4_dus.py v6 vs v7).
-    @jax.jit
-    def chain(n, x, qkv):
-        x, qkv, _ = jax.lax.fori_loop(
-            0, n, lambda _, c: step(*c), (x, qkv, caches))
-        return x[0, 0].astype(jnp.float32)
+    # Caches are DONATED args threaded back out — the in-place-update
+    # regime the model runs in (benchmarks/r4_dus.py v6 vs v7).
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(4, 4 + 2 * L)))
+    def chain(n, x, qkv, stream_arg, *flat):
+        nonlocal_stream[0] = stream_arg
+        cs = [{"k": flat[2 * i], "v": flat[2 * i + 1]} for i in range(L)]
+        x, qkv, cs = jax.lax.fori_loop(
+            0, n, lambda _, c: step(*c), (x, qkv, cs))
+        out = []
+        for c in cs:
+            out += [c["k"], c["v"]]
+        return x[0, 0].astype(jnp.float32), tuple(out)
 
     key = jax.random.key(7)
     x0 = jax.random.normal(key, (B, H), jnp.bfloat16)
     qkv0 = jax.random.normal(key, (B, NQ + 2 * KD), jnp.bfloat16)
-    float(chain(jnp.int32(2), x0, qkv0))
+    flat = []
+    for c in caches:
+        flat += [c["k"], c["v"]]
+    flat = tuple(flat)
+    r, flat = chain(jnp.int32(2), x0, qkv0, stream, *flat)
+    float(r)
 
     def best(n, reps=3):
+        nonlocal flat
         b = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(jnp.int32(n), x0, qkv0))
+            r, flat = chain(jnp.int32(n), x0, qkv0, stream, *flat)
+            float(r)
             b = min(b, time.perf_counter() - t0)
         return b
 
@@ -132,12 +153,16 @@ def run_variant(name, stream, caches, gm, *, att_on=True, tail_on=True,
 
 
 def main():
-    stream, caches, gm = build()
-    run_variant("full body", stream, caches, gm)
-    run_variant("no attention kernel", stream, caches, gm, att_on=False)
-    run_variant("no tail kernel", stream, caches, gm, tail_on=False)
-    run_variant("no pack_queries", stream, caches, gm, pack_on=False)
-    run_variant("no cache DUS", stream, caches, gm, dus_on=False)
+    stream, make_caches, gm = build()
+    run_variant("full body", stream, make_caches, gm)
+    run_variant("no attention kernel", stream, make_caches, gm, att_on=False)
+    run_variant("no tail kernel", stream, make_caches, gm, tail_on=False)
+    run_variant("no pack_queries", stream, make_caches, gm, pack_on=False)
+    run_variant("no cache DUS", stream, make_caches, gm, dus_on=False)
+    run_variant("attention only", stream, make_caches, gm, tail_on=False,
+                dus_on=False)
+    run_variant("tail only", stream, make_caches, gm, att_on=False,
+                dus_on=False)
 
 
 if __name__ == "__main__":

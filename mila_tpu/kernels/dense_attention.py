@@ -249,37 +249,37 @@ def dense_decode_attention(
 #     max_seq_len but only `pos` rows are live — streaming the rest was
 #     pure waste);
 #   - the current token's score/value enter the online softmax in-register
-#     at finalize time, so the cache insert (XLA dynamic_update_slice on
-#     the token-major layout) is OFF the attention critical path and can
-#     overlap with the next kernel.
+#     at finalize time, AND the kernel writes the new k/v rows into the
+#     cache ITSELF (the caches are aliased in-out refs; an XLA
+#     dynamic_update_slice on a buffer a pallas call reads cannot alias and
+#     silently copied the 8MB layer cache — ~35us/layer, benchmarks/
+#     r4_layer.py).
 #
-# Returns (att [B, NH, HD], k_new [B, NKV*HD] roped) — v_new is a plain
-# lane-slice of qkv the caller takes itself.
+# Returns (att [B, NH, HD], k_new [B, KD] roped, k_cache', v_cache') where
+# the caches are the SAME buffers updated in place at row old_lens[b].
 # ---------------------------------------------------------------------------
 
 
 def _fused_kernel(
     lens_ref,  # SMEM [B] int32: number of OLD cache tokens per row
-    layer_ref,  # SMEM [1] int32: layer id into the stacked cache (dynamic
-    #             so all L layers share ONE compiled kernel)
     q_ref,  # [B, NH, KD] VMEM lane-packed queries, PRE-rope
     qkv_ref,  # [B, NQ+2*KD] VMEM raw fused projection row
     cos_ref,  # [B, KD] f32, full-width tiled
     sin_ref,  # [B, KD] f32, pre-signed ([-sin | sin] per 64-lane group)
-    k_hbm,  # [L, B, T, KD] HBM stacked cache (rows >= lens[b] not read)
+    k_hbm,  # [B, T, KD] HBM cache (aliased to the k_out ref; rows >=
+    #         lens[b] are not read)
     v_hbm,
     o_ref,  # [B, NH, HD]
     kn_ref,  # [B, KD] roped new k
+    ko_ref,  # [B, T, KD] ANY — aliased to k_hbm; row lens[b] written by
+    #          the kernel itself (1-D row DMAs)
+    vo_ref,
     k_buf,  # VMEM [2, B, bt, KD]
     v_buf,
     k_sem,
     v_sem,
-    q_scr,  # VMEM [B, NH, KD] bf16 (roped packed queries)
-    kv_scr,  # VMEM [2, B, KD] bf16 (roped k_new row 0, v_new row 1)
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    w_sem,  # write-back sem
+    *rest,  # 2*B (8, KD) row-block buffers, then q_scr/kv_scr/m/l/acc
     block_t: int,
     num_blocks: int,
     sm_scale: float,
@@ -289,13 +289,44 @@ def _fused_kernel(
     hd: int,
     nq: int,
 ):
+    krow_scr = rest[:batch]
+    vrow_scr = rest[batch : 2 * batch]
+    (q_scr, kv_scr, m_scr, l_scr, acc_scr) = rest[2 * batch :]
     blk = pl.program_id(0)
     nh = nkv * group
     kd = nkv * hd
-    layer = layer_ref[0]
     maxlen = lens_ref[0]
     for b in range(1, batch):
         maxlen = jnp.maximum(maxlen, lens_ref[b])
+
+    def blk_start(b):
+        # Mosaic requires 8-row-aligned HBM DMA slices, so the insert is a
+        # read-modify-write of the aligned 8-row block around lens[b].
+        return (lens_ref[b] // 8) * 8
+
+    def row_reads():
+        cps = []
+        for b in range(batch):
+            st = blk_start(b)
+            cps.append(pltpu.make_async_copy(
+                ko_ref.at[b, pl.ds(st, 8)], krow_scr[b], w_sem))
+            cps.append(pltpu.make_async_copy(
+                vo_ref.at[b, pl.ds(st, 8)], vrow_scr[b], w_sem))
+        return cps
+
+    def row_writes():
+        # New k/v rows -> cache row lens[b] through the ALIASED out refs.
+        # The written block's other 7 rows are rewritten with their own
+        # bytes; the new row is masked out of this step's scores, so the
+        # race with the streaming reads is benign.
+        cps = []
+        for b in range(batch):
+            st = blk_start(b)
+            cps.append(pltpu.make_async_copy(
+                krow_scr[b], ko_ref.at[b, pl.ds(st, 8)], w_sem))
+            cps.append(pltpu.make_async_copy(
+                vrow_scr[b], vo_ref.at[b, pl.ds(st, 8)], w_sem))
+        return cps
 
     def rope(x, c, s):
         lo = jnp.roll(x, -(hd // 2), axis=1)
@@ -307,12 +338,13 @@ def _fused_kernel(
     def slab_copies(slot, idx):
         return (
             pltpu.make_async_copy(
-                k_hbm.at[layer, :, pl.ds(idx * block_t, block_t)],
+                k_hbm.at[:, pl.ds(idx * block_t, block_t)],
                 k_buf.at[slot], k_sem.at[slot]),
             pltpu.make_async_copy(
-                v_hbm.at[layer, :, pl.ds(idx * block_t, block_t)],
+                v_hbm.at[:, pl.ds(idx * block_t, block_t)],
                 v_buf.at[slot], v_sem.at[slot]),
         )
+
 
     @pl.when(blk == 0)
     def _init():
@@ -334,9 +366,32 @@ def _fused_kernel(
             )
         kn = rope(qkv_ref[:, nq : nq + kd].astype(jnp.float32),
                   cos_ref[...], sin_ref[...])
-        kv_scr[0] = kn.astype(jnp.bfloat16)
-        kv_scr[1] = qkv_ref[:, nq + kd : nq + 2 * kd].astype(jnp.bfloat16)
+        vn = qkv_ref[:, nq + kd : nq + 2 * kd]
+        kv_scr[0] = kn.astype(kv_scr.dtype)
+        kv_scr[1] = vn.astype(kv_scr.dtype)
         kn_ref[...] = kn.astype(kn_ref.dtype)
+        for c in row_reads():
+            c.start()
+        for c in row_reads():
+            c.wait()
+        rowid = jax.lax.broadcasted_iota(jnp.int32, (8, kd), 0)
+        for b in range(batch):
+            r = lens_ref[b] - blk_start(b)
+            k8 = jnp.where(
+                rowid == r,
+                jnp.broadcast_to(kn[b : b + 1], (8, kd)),
+                krow_scr[b][...].astype(jnp.float32),
+            )
+            v8 = jnp.where(
+                rowid == r,
+                jnp.broadcast_to(vn[b : b + 1].astype(jnp.float32), (8, kd)),
+                vrow_scr[b][...].astype(jnp.float32),
+            )
+            krow_scr[b][...] = k8.astype(krow_scr[b].dtype)
+            vrow_scr[b][...] = v8.astype(vrow_scr[b].dtype)
+        # The write-back overlaps the whole KV stream; awaited at finalize.
+        for c in row_writes():
+            c.start()
 
     active = blk * block_t < maxlen
     col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, block_t), 1)
@@ -400,6 +455,8 @@ def _fused_kernel(
                 part = acc[:, j * hd : (j + 1) * hd] * (head == j)
                 att = part if att is None else att + part
             o_ref[b] = (att * l_inv).astype(o_ref.dtype)
+        for c in row_writes():
+            c.wait()
 
 
 def fused_decode_attention(
@@ -412,26 +469,21 @@ def fused_decode_attention(
     old_lens: jax.Array,  # [B] int32: live cache rows (current token excl.)
     *,
     num_heads: int,
-    layer: int = 0,  # static layer id into a stacked cache
+    ragged: bool = False,  # True: per-row insert positions (engine path)
     scale: Optional[float] = None,
-    block_t: int = 128,
+    block_t: int = 256,
     interpret: Optional[bool] = None,
 ):
-    """In-kernel rope + dense-cache decode attention (see module comment).
+    """In-kernel rope + dense-cache decode attention + cache write-back.
 
-    Accepts the whole stacked cache [L, B, T, NKV, HD] with a STATIC
-    ``layer`` index — the kernel DMAs ``cache[layer]`` slabs directly, so
-    the caller never slices (an XLA slice of a kernel operand would
-    materialize an 8MB copy per layer).
+    The caches are ALIASED through the kernel: the returned k/v caches are
+    the same (donated) buffers with row ``old_lens[b]`` holding the roped
+    new k and raw v. Supports per-row positions (``old_lens`` ragged, with
+    per-row ``cos_t``/``sin_t``) — the continuous-batching decode path.
 
-    Returns (att [B, NH, HD], k_new [B, NKV*HD] roped — caller inserts it
-    and the v lanes of ``qkv`` into the cache for the NEXT step).
+    Returns (att [B, NH, HD], k_new [B, NKV*HD] roped, k_cache', v_cache').
     """
-    if k_cache.ndim == 4:
-        k_cache = k_cache[None]
-        v_cache = v_cache[None]
-        layer = 0
-    L, B, T, NKV, HD = k_cache.shape
+    B, T, NKV, HD = k_cache.shape
     NH = num_heads
     KD = NKV * HD
     NQ = NH * HD
@@ -441,7 +493,7 @@ def fused_decode_attention(
     interp = _interpret_default() if interpret is None else interpret
     if interp:
         return _fused_decode_attention_ref(
-            qkv, cos_t, sin_t, k_cache[layer], v_cache[layer], old_lens,
+            qkv, cos_t, sin_t, k_cache, v_cache, old_lens,
             num_heads=NH, scale=sm_scale,
         )
 
@@ -449,17 +501,17 @@ def fused_decode_attention(
     while T % bt:
         bt //= 2
     num_blocks = T // bt
-    k2 = k_cache.reshape(L, B, T, KD)
-    v2 = v_cache.reshape(L, B, T, KD)
+    k2 = k_cache.reshape(B, T, KD)
+    v2 = v_cache.reshape(B, T, KD)
 
-    att, k_new = pl.pallas_call(
+    att, k_new, k_out, v_out = pl.pallas_call(
         functools.partial(
             _fused_kernel,
             block_t=bt, num_blocks=num_blocks, sm_scale=sm_scale,
             batch=B, nkv=NKV, group=G, hd=HD, nq=NQ,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec((B, NH, KD), lambda i, *_: (0, 0, 0)),
@@ -472,14 +524,18 @@ def fused_decode_attention(
             out_specs=(
                 pl.BlockSpec((B, NH, HD), lambda i, *_: (0, 0, 0)),
                 pl.BlockSpec((B, KD), lambda i, *_: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, B, bt, KD), k_cache.dtype),
                 pltpu.VMEM((2, B, bt, KD), v_cache.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                *[pltpu.VMEM((8, KD), k_cache.dtype) for _ in range(2 * B)],
                 pltpu.VMEM((B, NH, KD), jnp.bfloat16),
-                pltpu.VMEM((2, B, KD), jnp.bfloat16),
+                pltpu.VMEM((2, B, KD), k_cache.dtype),
                 pltpu.VMEM((B, NH, 1), jnp.float32),
                 pltpu.VMEM((B, NH, 1), jnp.float32),
                 pltpu.VMEM((B, NH, KD), jnp.float32),
@@ -488,7 +544,12 @@ def fused_decode_attention(
         out_shape=(
             jax.ShapeDtypeStruct((B, NH, HD), qkv.dtype),
             jax.ShapeDtypeStruct((B, KD), qkv.dtype),
+            jax.ShapeDtypeStruct((B, T, KD), k_cache.dtype),
+            jax.ShapeDtypeStruct((B, T, KD), v_cache.dtype),
         ),
+        # args: [lens, q_pk, qkv, cos, sin, k2, v2] — k2/v2 (indices 5, 6)
+        # alias outputs 2/3: the kernel writes the new rows in place.
+        input_output_aliases={5: 2, 6: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -498,10 +559,15 @@ def fused_decode_attention(
             transcendentals=B * NH * T,
         ),
         interpret=False,
-    )(old_lens.astype(jnp.int32), jnp.full((1,), layer, jnp.int32),
-      q_pk, qkv, cos_t.astype(jnp.float32),
+    )(old_lens.astype(jnp.int32), q_pk, qkv, cos_t.astype(jnp.float32),
       sin_t.astype(jnp.float32), k2, v2)
-    return att, k_new
+    # Scatter the new rows into the ALIASED pass-through buffers. Because
+    # the kernel owns the caches via input_output_aliases, the original
+    # operands are dead here and the scatter updates in place (an XLA DUS
+    # against a buffer a pallas call READS cannot alias and copied
+    # 8MB/layer — benchmarks/r4_layer.py).
+    return (att, k_new, k_out.reshape(B, T, NKV, HD),
+            v_out.reshape(B, T, NKV, HD))
 
 
 def _fused_decode_attention_ref(qkv, cos_t, sin_t, k_cache, v_cache,
@@ -543,4 +609,5 @@ def _fused_decode_attention_ref(qkv, cos_t, sin_t, k_cache, v_cache,
         old_lens + 1,
         scale=scale,
     )
-    return out[:, 0], k_new
+    return (out[:, 0], k_new, kc.reshape(B, T, NKV, HD),
+            vc.reshape(B, T, NKV, HD))

@@ -105,15 +105,23 @@ def pack_layer_stream(packs) -> Optional[LayerStream]:
 
 
 def _stream_kernel(
-    layer_ref,  # SMEM [1] int32 (scalar prefetch; 0 for the last-layer call)
     att_ref,  # [B, H] VMEM attention output
     x_ref,  # [B, H] VMEM residual stream
     gm_mlp_ref,  # [1, H] f32
     gm_nxt_ref,  # [1, H] f32 (ones when n_qkv == 0)
-    s_ref,  # [tps, 1, bn] f32 (auto-pipelined block)
-    w_ref,  # [tps, bk, bn] (auto-pipelined, Buffered(depth) + lookahead)
+    s_hbm,  # [Ltot, 1, bn] f32 ANY/HBM — whole layer's rows fetched once
+    w_hbm,  # [Ltot, bk, bn] ANY/HBM — manual depth-3 ring with STATIC
+    #         addresses (auto pipelining is capped at double buffering =
+    #         ~610 GB/s; three in-flight DMAs measured 721 GB/s, and
+    #         dynamic descriptor addresses cost ~0.2us/tile of scalar work,
+    #         so the layer base offset is a compile-time constant — the
+    #         small grid body makes per-layer compiles cheap)
     o_ref,  # [B, H]
     qkv_ref,  # [B, max(Nq, 128)]
+    w_buf,  # VMEM [depth, tps, bk, bn]
+    w_sem,  # DMA sems (depth,)
+    s_buf,  # VMEM [n_tiles, 1, bn] f32 (whole layer's scale rows)
+    s_sem,
     x1_scr,  # VMEM [n_wo, B, bn] f32
     xn_scr,  # VMEM [B, H] bf16
     g_scr,  # VMEM [B, bn] f32
@@ -131,16 +139,42 @@ def _stream_kernel(
     depth: int,
     n_tiles: int,
     tps: int,
+    base: int,  # static first-tile index of this layer in w_hbm
 ):
     t = pl.program_id(0)
     n_cols = H // bn
     cpb = H // bn  # h chunks per down K tile (bk == H)
+    n_steps = n_tiles // tps
+
+    def copy(slot, idx):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(base + idx * tps, tps)],
+            w_buf.at[slot], w_sem.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _prologue():
+        for d in range(min(depth, n_steps)):
+            copy(d, d).start()
+        pltpu.make_async_copy(
+            s_hbm.at[pl.ds(base, n_tiles)], s_buf, s_sem
+        ).start()
+        pltpu.make_async_copy(
+            s_hbm.at[pl.ds(base, n_tiles)], s_buf, s_sem
+        ).wait()
+
+    slot = jax.lax.rem(t, depth)
+    copy(slot, t).wait()
+
+    @pl.when(t + depth < n_steps)
+    def _issue_next():
+        copy(jax.lax.rem(t + depth, depth), t + depth).start()
 
     last_down = n_wo + n_gu + n_down - 1
     for i in range(tps):
         tt = t * tps + i  # global tile index (dynamic t, static lane i)
-        w = _load_w(w_ref[i])
-        s = s_ref[i, 0]
+        w = _load_w(w_buf[slot, i])
+        s = s_buf[tt, 0]
 
         @pl.when(tt < n_wo)
         def _wo(tt=tt, w=w, s=s):
@@ -293,55 +327,48 @@ def layer_tail_stream(
     n_cols = H // bn
     bk = w.shape[1]
     tile_bytes = bk * bn * w.dtype.itemsize
-    # Tile group per grid step (amortizes per-step overhead) + deep
-    # multiple-buffering with lookahead so >=2 weight DMAs stay in flight
-    # (2-deep default buffering measured 609-664 GB/s; the unrolled manual
-    # ring's 721 GB/s needed 3 tiles in flight).
+    # Tile group per grid step (amortizes per-step overhead); manual ring
+    # depth 3 (see kernel doc) within ~6MB of VMEM weight buffers.
     tps = 1
     while (tps * 2 * tile_bytes <= 2 * 1024 * 1024
            and n_tiles % (tps * 2) == 0):
         tps *= 2
-    depth = 2  # Mosaic supports at most double buffering (jax 0.9)
+    depth = max(2, min(3, (6 * 1024 * 1024) // (tps * tile_bytes)))
     n_steps = n_tiles // tps
+    sbase = lidx * n_steps
     kern = functools.partial(
         _stream_kernel,
         n_wo=stream.n_wo, n_gu=stream.n_gu, n_down=stream.n_down,
         n_qkv=n_qkv, bn=bn, H=H, eps=eps, depth=depth, n_tiles=n_tiles,
-        tps=tps,
+        tps=tps, base=lidx * n_tiles,
     )
     x_out, qkv = pl.pallas_call(
         kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_steps,),
-            in_specs=[
-                pl.BlockSpec((B, H), lambda t, lay: (0, 0)),
-                pl.BlockSpec((B, H), lambda t, lay: (0, 0)),
-                pl.BlockSpec((1, H), lambda t, lay: (0, 0)),
-                pl.BlockSpec((1, H), lambda t, lay: (0, 0)),
-                pl.BlockSpec(
-                    (tps, 1, bn),
-                    lambda t, lay: (lay[0] * (n_tiles // tps) + t, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (tps, bk, bn),
-                    lambda t, lay: (lay[0] * (n_tiles // tps) + t, 0, 0),
-                    pipeline_mode=pl.Buffered(buffer_count=depth),
-                ),
-            ],
-            out_specs=(
-                pl.BlockSpec((B, H), lambda t, lay: (0, 0)),
-                pl.BlockSpec((B, max(Nq, 128)), lambda t, lay: (0, 0)),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((stream.n_wo, B, bn), jnp.float32),
-                pltpu.VMEM((B, H), jnp.bfloat16),
-                pltpu.VMEM((B, bn), jnp.float32),
-                pltpu.VMEM((stream.n_gu // 2, B, bn), jnp.bfloat16),
-                pltpu.VMEM((n_cols, B, bn), jnp.float32),
-                pltpu.VMEM((max(n_qkv, 1), B, bn), jnp.float32),
-            ],
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((depth, tps, bk, bn), w.dtype),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.VMEM((n_tiles, 1, bn), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((stream.n_wo, B, bn), jnp.float32),
+            pltpu.VMEM((B, H), jnp.bfloat16),
+            pltpu.VMEM((B, bn), jnp.float32),
+            pltpu.VMEM((stream.n_gu // 2, B, bn), jnp.bfloat16),
+            pltpu.VMEM((n_cols, B, bn), jnp.float32),
+            pltpu.VMEM((max(n_qkv, 1), B, bn), jnp.float32),
+        ],
         out_shape=(
             jax.ShapeDtypeStruct((B, H), x.dtype),
             jax.ShapeDtypeStruct((B, max(Nq, 128)), x.dtype),
@@ -356,7 +383,7 @@ def layer_tail_stream(
         ),
         interpret=False,
     )(
-        jnp.full((1,), lidx, jnp.int32), a2, x2,
+        a2, x2,
         gamma_mlp.reshape(1, H).astype(jnp.float32),
         gm_nxt.reshape(1, H).astype(jnp.float32), s, w,
     )

@@ -521,7 +521,9 @@ class Llama(CompositeModule):
         positions = pos + jnp.arange(t)[None].repeat(B, 0)
         cos, sin = self._rope(positions)
         if t == 1 and B <= 32 and "layer_stream" in params:
-            return self._backbone_fused_decode(params, x, cache, pos, cos, sin)
+            old_lens = jnp.full((B,), pos, jnp.int32)
+            return self._backbone_fused_decode(params, x, cache, old_lens,
+                                               cos, sin)
         new_cache = {}
         for i in range(cfg.num_layers):
             x, lc = self.get(f"h{i}").apply_with_cache(
@@ -530,12 +532,15 @@ class Llama(CompositeModule):
             new_cache[f"h{i}"] = lc
         return x, new_cache
 
-    def _backbone_fused_decode(self, params, x, cache, pos, cos, sin):
-        """Two-kernel-per-layer megakernel decode: [dense attention] ->
-        [layer tail: wo|rms|SwiGLU|down + NEXT layer's rms+wqkv]
-        (kernels/layer_fused.py); only rope + the contiguous cache insert
-        stay in XLA. Layer 0's qkv comes from the standalone fused
-        rms+wqkv kernel."""
+    def _backbone_fused_decode(self, params, x, cache, old_lens, cos, sin,
+                               ragged=False):
+        """Two-kernel-per-layer megakernel decode: [dense attention with
+        in-kernel rope + cache write-back] -> [layer tail: wo|rms|SwiGLU|
+        down + NEXT layer's rms+wqkv] (kernels/layer_stream.py). The
+        attention kernel updates each layer's cache IN PLACE (aliased
+        refs) — an XLA DUS on a buffer a pallas call reads cannot alias
+        and silently copied 8MB/layer (benchmarks/r4_layer.py). Supports
+        per-row ``old_lens`` (continuous batching)."""
         cfg: LlamaConfig = self.config
         from mila_tpu.kernels.decode_fused import rms_quant_linear
         from mila_tpu.kernels.dense_attention import (
@@ -548,7 +553,6 @@ class Llama(CompositeModule):
         NH, NKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.hd
         NQ = NH * HD
         KD = NKV * HD
-        old_lens = jnp.full((B,), pos, jnp.int32)
         # Full-width tiled rope tables, computed ONCE per step: cos duplicated
         # across the split halves, sin pre-signed [-sin | sin] — the kernel
         # applies rope as x*cos + lane_swap(x)*sin (dense_attention module doc).
@@ -567,27 +571,11 @@ class Llama(CompositeModule):
             lc = cache[f"h{i}"]
             qkv2 = qkv.reshape(B, NQ + 2 * KD)
             q_pk = pack_queries(qkv2[:, :NQ].reshape(B, NH, HD), NKV)
-            att, k_new = fused_decode_attention(
+            att, _k_new, k_c, v_c = fused_decode_attention(
                 qkv2, q_pk, cos_t, sin_t, lc["k"], lc["v"], old_lens,
-                num_heads=NH,
+                num_heads=NH, ragged=ragged,
             )
-            # The kernel folded the current token in-register, so each
-            # layer's insert is off the attention critical path and lands
-            # in place on that layer's own carried buffer.
-            new_cache[f"h{i}"] = {
-                "k": jax.lax.dynamic_update_slice(
-                    lc["k"],
-                    k_new.reshape(B, 1, NKV, HD).astype(lc["k"].dtype),
-                    (0, pos, 0, 0),
-                ),
-                "v": jax.lax.dynamic_update_slice(
-                    lc["v"],
-                    qkv2[:, NQ + KD :].reshape(B, 1, NKV, HD).astype(
-                        lc["v"].dtype
-                    ),
-                    (0, pos, 0, 0),
-                ),
-            }
+            new_cache[f"h{i}"] = {"k": k_c, "v": v_c}
             gamma_next = (
                 params[f"h{i + 1}"]["ln_attn"]["gamma"]
                 if i + 1 < cfg.num_layers else None
@@ -725,6 +713,12 @@ class Llama(CompositeModule):
         B = tokens.shape[0]
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B,1,H]
         cos, sin = self._rope(positions[:, None])
+        if B <= 32 and "layer_stream" in params:
+            x, new_cache = self._backbone_fused_decode(
+                params, x, cache, positions.astype(jnp.int32), cos, sin,
+                ragged=True,
+            )
+            return self._norm_logits(params, x), new_cache
         rows = jnp.arange(B)
         new_cache = {}
         for i in range(cfg.num_layers):

@@ -92,7 +92,7 @@ def test_fused_ref_matches_rope_plus_oracle():
     cos_t = jnp.tile(jnp.concatenate([c2, c2], -1), (1, NKV))
     sin_t = jnp.tile(jnp.concatenate([-s2, s2], -1), (1, NKV))
 
-    att, k_new = fused_decode_attention(
+    att, k_new, kc_out, vc_out = fused_decode_attention(
         qkv, None, cos_t, sin_t, kc, vc, old_lens, num_heads=NH,
         interpret=True)
 
