@@ -476,8 +476,57 @@ def kernel_check() -> dict:
               fused_softmax_cross_entropy(logits, targets, interpret=False),
               softmax_cross_entropy(logits, targets), rtol=1e-4, atol=1e-4)
 
+    def sec_mega_layer():
+        # Single-kernel decode layer (kernels/layer_mega.py) vs its jnp
+        # oracle at reduced shapes (same code paths: slot unpack, in-kernel
+        # attention, RMW write-back, weight stream, next-layer qkv).
+        from mila_tpu.kernels.layer_mega import (
+            layer_megakernel, pack_mega_layer,
+        )
+
+        Bm, NKVm, NHm, HDm, Tm = 4, 2, 8, 64, 256
+        Hm, Im = 512, 1024
+        KDm, NQm = NKVm * HDm, NHm * HDm
+        km = jax.random.fold_in(key, 40)
+        wo_m = quantize(jax.random.normal(km, (NQm, Hm)) * 0.05, "int8")
+        wgu_m = quantize(
+            jax.random.normal(jax.random.fold_in(km, 1), (Hm, 2 * Im)) * 0.05,
+            "int8")
+        down_m = quantize(
+            jax.random.normal(jax.random.fold_in(km, 2), (Im, Hm)) * 0.05,
+            "int8")
+        wqkv_m = quantize(
+            jax.random.normal(jax.random.fold_in(km, 3),
+                              (Hm, NQm + 2 * KDm)) * 0.05, "int8")
+        mp = pack_mega_layer(wo_m, wgu_m, down_m, wqkv_m, nh=NHm, nkv=NKVm,
+                             hd=HDm, bn=128)
+        assert mp is not None
+        qkv = jax.random.normal(jax.random.fold_in(km, 4),
+                                (Bm, NQm + 2 * KDm), jnp.bfloat16)
+        xm = jax.random.normal(jax.random.fold_in(km, 5), (Bm, Hm),
+                               jnp.bfloat16)
+        kc = jax.random.normal(jax.random.fold_in(km, 6),
+                               (Bm, Tm, NKVm, HDm), jnp.bfloat16)
+        vc = jax.random.normal(jax.random.fold_in(km, 7),
+                               (Bm, Tm, NKVm, HDm), jnp.bfloat16)
+        lens_m = jnp.array([5, 77, 130, 200], jnp.int32)
+        d2 = HDm // 2
+        inv = 1.0 / (10000.0 ** (jnp.arange(d2, dtype=jnp.float32) / d2))
+        ang = lens_m[:, None].astype(jnp.float32) * inv[None]
+        c2m, s2m = jnp.cos(ang), jnp.sin(ang)
+        cos_t = jnp.tile(jnp.concatenate([c2m, c2m], -1), (1, NKVm))
+        sin_t = jnp.tile(jnp.concatenate([-s2m, s2m], -1), (1, NKVm))
+        gm_m = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(km, 8), (Hm,))
+        got = layer_megakernel(qkv, xm, gm_m, mp, kc, vc, lens_m, cos_t,
+                               sin_t, gm_m, num_heads=NHm, interpret=False)
+        want = layer_megakernel(qkv, xm, gm_m, mp, kc, vc, lens_m, cos_t,
+                                sin_t, gm_m, num_heads=NHm, interpret=True)
+        for nm, g, w in zip(("x_out", "qkv_next", "kc", "vc"), got, want):
+            check(f"mega_layer_{nm}", g, w, rtol=4e-2, atol=4e-2)
+
     for name, fn in (
         ("quant_matmul", sec_quant_matmul),
+        ("mega_layer", sec_mega_layer),
         ("quant_matmul_lm_head", sec_quant_matmul_lm_head),
         ("mlp_megakernel", sec_mlp_megakernel),
         ("dense_decode_attention", sec_dense_attention),

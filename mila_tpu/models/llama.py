@@ -363,6 +363,55 @@ def pack_decode_layers(params: dict, *, bn: int = 512,
     return out
 
 
+def pack_decode_megalayers(params: dict, cfg, *, bn: int = 512) -> dict:
+    """Per-layer single-kernel decode packs (kernels/layer_mega.py): wo's
+    rows and the NEXT layer's wq columns are permuted to the kernel's slot
+    head order at pack time, plus a slot-permuted copy of layer 0's wqkv
+    for the standalone first projection. Run AFTER fuse_llama_projections +
+    quantize_model_params. All-or-nothing."""
+    from mila_tpu.inference.quantize import QTensor
+    from mila_tpu.kernels.layer_mega import pack_mega_layer, permute_q_columns
+
+    NH, NKV, HD = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+
+    def get_qt(blk, name):
+        w = blk.get(name, {}).get("weight") if isinstance(blk, dict) else None
+        return w if isinstance(w, QTensor) else None
+
+    layer_names = sorted(
+        (n for n in params if n.startswith("h") and n[1:].isdigit()),
+        key=lambda n: int(n[1:]),
+    )
+    megas = []
+    for idx, name in enumerate(layer_names):
+        blk = params[name]
+        wo, wgu, down = (get_qt(blk, k) for k in ("wo", "wgu", "down"))
+        if not all((wo, wgu, down)):
+            return params
+        wqkv_next = None
+        if idx + 1 < len(layer_names):
+            wqkv_next = get_qt(params[layer_names[idx + 1]], "wqkv")
+            if wqkv_next is None:
+                return params
+        mp = pack_mega_layer(wo, wgu, down, wqkv_next, nh=NH, nkv=NKV,
+                             hd=HD, bn=bn)
+        if mp is None:
+            return params
+        megas.append(mp)
+    wqkv0 = get_qt(params[layer_names[0]], "wqkv")
+    if wqkv0 is None:
+        return params
+    out = dict(params)
+    for name, mp in zip(layer_names, megas):
+        b = dict(out[name])
+        b["mega_pack"] = mp
+        out[name] = b
+    b0 = dict(out[layer_names[0]])
+    b0["wqkv_slot"] = permute_q_columns(wqkv0, NH, NKV, HD)
+    out[layer_names[0]] = b0
+    return out
+
+
 def add_quantized_lm_head(params: dict, dtype: str = "int8",
                           pad_to: int = 2048) -> dict:
     """For tied-embedding models: add an int8/fp8 copy of wte^T used only by
@@ -520,7 +569,9 @@ class Llama(CompositeModule):
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)
         positions = pos + jnp.arange(t)[None].repeat(B, 0)
         cos, sin = self._rope(positions)
-        if t == 1 and B <= 32 and "layer_stream" in params:
+        if t == 1 and B <= 32 and (
+            "layer_stream" in params or "mega_pack" in params.get("h0", {})
+        ):
             old_lens = jnp.full((B,), pos, jnp.int32)
             return self._backbone_fused_decode(params, x, cache, old_lens,
                                                cos, sin)
@@ -561,6 +612,9 @@ class Llama(CompositeModule):
         s2 = sin.reshape(B, d2)
         cos_t = jnp.tile(jnp.concatenate([c2, c2], -1), (1, NKV))
         sin_t = jnp.tile(jnp.concatenate([-s2, s2], -1), (1, NKV))
+        if "mega_pack" in params["h0"]:
+            return self._backbone_mega_decode(
+                params, x, cache, old_lens, cos_t, sin_t)
         qkv = rms_quant_linear(
             x, params["h0"]["ln_attn"]["gamma"], params["h0"]["wqkv"]["weight"],
             eps=cfg.rms_eps,
@@ -585,6 +639,39 @@ class Llama(CompositeModule):
                 params["layer_stream"], i, gamma_next, eps=cfg.rms_eps,
             )
         return x, new_cache
+
+    def _backbone_mega_decode(self, params, x, cache, old_lens, cos_t, sin_t):
+        """Single-kernel-per-layer decode (kernels/layer_mega.py): GQA
+        attention + cache write-back + the whole layer tail in ONE Pallas
+        call per layer — the attention DMAs and compute hide under the
+        weight stream, eliminating the per-boundary DMA idle that floors
+        the two-kernel wiring at ~116us/layer (benchmarks/r4_layer.py)."""
+        cfg: LlamaConfig = self.config
+        from mila_tpu.kernels.decode_fused import rms_quant_linear
+        from mila_tpu.kernels.layer_mega import layer_megakernel
+
+        B = x.shape[0]
+        NH = cfg.num_heads
+        qkv = rms_quant_linear(
+            x, params["h0"]["ln_attn"]["gamma"], params["h0"]["wqkv_slot"],
+            eps=cfg.rms_eps,
+        ).reshape(B, -1)
+        x2 = x.reshape(B, cfg.hidden_size)
+        new_cache = {}
+        for i in range(cfg.num_layers):
+            bp = params[f"h{i}"]
+            lc = cache[f"h{i}"]
+            gamma_next = (
+                params[f"h{i + 1}"]["ln_attn"]["gamma"]
+                if i + 1 < cfg.num_layers else None
+            )
+            x2, qkv, k_c, v_c = layer_megakernel(
+                qkv, x2, bp["ln_mlp"]["gamma"], bp["mega_pack"],
+                lc["k"], lc["v"], old_lens, cos_t, sin_t, gamma_next,
+                num_heads=NH, eps=cfg.rms_eps,
+            )
+            new_cache[f"h{i}"] = {"k": k_c, "v": v_c}
+        return x2.reshape(B, 1, cfg.hidden_size), new_cache
 
     def forward_with_cache(self, params, tokens, cache, pos):
         x, new_cache = self._backbone_with_cache(params, tokens, cache, pos)
@@ -713,7 +800,9 @@ class Llama(CompositeModule):
         B = tokens.shape[0]
         x = jnp.take(params["embed"]["wte"], tokens, axis=0)  # [B,1,H]
         cos, sin = self._rope(positions[:, None])
-        if B <= 32 and "layer_stream" in params:
+        if B <= 32 and (
+            "layer_stream" in params or "mega_pack" in params.get("h0", {})
+        ):
             x, new_cache = self._backbone_fused_decode(
                 params, x, cache, positions.astype(jnp.int32), cos, sin,
                 ragged=True,

@@ -239,3 +239,70 @@ class TestFusedProjections:
         p_ref = jax.nn.softmax(l_ref)
         p_q = jax.nn.softmax(l_q)
         assert float(jnp.abs(p_ref - p_q).max()) < 0.03
+
+
+class TestMegaDecode:
+    def test_mega_decode_matches_quantized(self, tiny_llama):
+        """Single-kernel-per-layer decode (kernels/layer_mega.py, CPU
+        oracle path) vs the unpacked quantized model, including slot
+        permutation of wq columns / wo rows and the cache write-back."""
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.llama import (
+            fuse_llama_projections, pack_decode_megalayers,
+        )
+
+        model, params, cfg = tiny_llama
+        fused_q = quantize_model_params(
+            fuse_llama_projections(params), "int8", min_size=1024
+        )
+        packed = pack_decode_megalayers(fused_q, cfg, bn=64)
+        assert "mega_pack" in packed["h0"], "mega pack must build"
+        assert "wqkv_slot" in packed["h0"]
+        toks = jnp.array([[2, 4, 6], [1, 3, 5]], jnp.int32)
+        cache1 = model.init_kv_cache(2, 16, jnp.float32)
+        cache2 = model.init_kv_cache(2, 16, jnp.float32)
+        _, c1 = model.forward_with_cache(fused_q, toks, cache1, 0)
+        _, c2 = model.forward_with_cache(packed, toks, cache2, 0)
+        nxt = jnp.array([[7], [9]], jnp.int32)
+        d1, c1b = model.forward_with_cache(fused_q, nxt, c1, 3)
+        d2, c2b = model.forward_with_cache(packed, nxt, c2, 3)
+        np.testing.assert_allclose(
+            np.asarray(d1, np.float32), np.asarray(d2, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1b["h0"]["k"], np.float32),
+            np.asarray(c2b["h0"]["k"], np.float32), rtol=2e-2, atol=2e-2,
+        )
+        # chains off the mega cache
+        d3, _ = model.forward_with_cache(packed, nxt, c2b, 4)
+        d3_ref, _ = model.forward_with_cache(fused_q, nxt, c1b, 4)
+        np.testing.assert_allclose(
+            np.asarray(d3, np.float32), np.asarray(d3_ref, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+
+    def test_mega_ragged_matches(self, tiny_llama):
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.llama import (
+            fuse_llama_projections, pack_decode_megalayers,
+        )
+
+        model, params, cfg = tiny_llama
+        fused_q = quantize_model_params(
+            fuse_llama_projections(params), "int8", min_size=1024
+        )
+        packed = pack_decode_megalayers(fused_q, cfg, bn=64)
+        toks = jnp.array([[2, 4, 6, 1], [1, 3, 5, 2]], jnp.int32)
+        cache1 = model.init_kv_cache(2, 16, jnp.float32)
+        cache2 = model.init_kv_cache(2, 16, jnp.float32)
+        _, c1 = model.forward_with_cache(fused_q, toks, cache1, 0)
+        _, c2 = model.forward_with_cache(packed, toks, cache2, 0)
+        positions = jnp.array([4, 4], jnp.int32)
+        nxt = jnp.array([[7], [9]], jnp.int32)
+        l1, _ = model.forward_with_cache_ragged(fused_q, nxt, c1, positions)
+        l2, _ = model.forward_with_cache_ragged(packed, nxt, c2, positions)
+        np.testing.assert_allclose(
+            np.asarray(l1, np.float32), np.asarray(l2, np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
