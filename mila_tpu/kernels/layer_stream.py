@@ -9,11 +9,11 @@ path. Same math and stream order, two structural changes:
    double-buffer the [bk, bn] tile fetches — the unrolled 124-tile ring
    compiled to a ~20-minute Mosaic build per LAYER VARIANT and made engine
    startup and benches compile-bound.
-2. The layer id is a scalar-prefetch operand feeding the weight-tile index
-   map, so ONE compiled kernel serves every decoder layer (the weights of
-   all layers are stacked in a single [L*T, bk, bn] HBM array and the index
-   map picks the layer's tile range). A second tiny variant (n_qkv=0)
-   serves the last layer.
+2. The weights of all layers are stacked in a single [L*T, bk, bn] HBM
+   array and the STATIC layer id bakes that layer's tile base into the
+   compiled kernel — each layer id is its own (weight-free, cheap)
+   specialization of one kernel body, all reading the same stacked array.
+   A second tiny variant (n_qkv=0) serves the last layer.
 
 Parity anchor: the reference caches one cuBLASLt plan per Linear with fused
 epilogues (CudaLinearOp.ixx:147-225); the TPU analogue is one resident
@@ -281,7 +281,7 @@ def layer_tail_stream(
     x: jax.Array,  # [..., H] residual stream
     gamma_mlp: jax.Array,  # [H]
     stream: LayerStream,
-    layer: int,  # static or traced layer id
+    layer: int,  # STATIC layer id (baked into the compiled kernel)
     gamma_next: Optional[jax.Array] = None,
     *,
     eps: float = 1e-5,
@@ -289,7 +289,14 @@ def layer_tail_stream(
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """x1 = att @ wo + x; h = swiglu(rms(x1) @ wgu); x_out = h @ down + x1;
     qkv = rms(x_out, gamma_next) @ wqkv_next. Returns (x_out, qkv or None
-    for the last layer). ``layer`` indexes the stacked stream."""
+    for the last layer). ``layer`` indexes the stacked stream and must be a
+    Python int: the tile base address is a compile-time constant, so each
+    layer id gets its own (cheap, weight-free) kernel specialization."""
+    if not isinstance(layer, int):
+        raise TypeError(
+            f"layer_tail_stream needs a static int layer id, got "
+            f"{type(layer).__name__}: the weight-stream base address is "
+            "baked into the compiled kernel")
     H, bn = stream.h_dim, stream.bn
     lead = x.shape[:-1]
     a2 = att.reshape(-1, H)
@@ -335,7 +342,6 @@ def layer_tail_stream(
         tps *= 2
     depth = max(2, min(3, (6 * 1024 * 1024) // (tps * tile_bytes)))
     n_steps = n_tiles // tps
-    sbase = lidx * n_steps
     kern = functools.partial(
         _stream_kernel,
         n_wo=stream.n_wo, n_gu=stream.n_gu, n_down=stream.n_down,

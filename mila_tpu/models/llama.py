@@ -549,6 +549,10 @@ class Llama(CompositeModule):
     def init_kv_cache(self, batch_size: int, max_len: int = 0, dtype=jnp.bfloat16) -> dict:
         cfg: LlamaConfig = self.config
         maxT = max_len or min(cfg.max_seq_len, 4096)
+        # The fused decode kernels write the new row via an 8-row-aligned
+        # RMW DMA; a non-multiple-of-8 T would put the last block's RMW
+        # out of bounds (ADVICE r4 #2).
+        maxT = (maxT + 7) // 8 * 8
         # PER-LAYER token-major caches {"h{i}": {"k","v"} [B, maxT, NKV, HD]}.
         # Each layer's cache is its own carried buffer, so the per-step
         # insert is an in-place dynamic_update_slice. (The r3 stacked
@@ -583,8 +587,7 @@ class Llama(CompositeModule):
             new_cache[f"h{i}"] = lc
         return x, new_cache
 
-    def _backbone_fused_decode(self, params, x, cache, old_lens, cos, sin,
-                               ragged=False):
+    def _backbone_fused_decode(self, params, x, cache, old_lens, cos, sin):
         """Two-kernel-per-layer megakernel decode: [dense attention with
         in-kernel rope + cache write-back] -> [layer tail: wo|rms|SwiGLU|
         down + NEXT layer's rms+wqkv] (kernels/layer_stream.py). The
@@ -627,7 +630,7 @@ class Llama(CompositeModule):
             q_pk = pack_queries(qkv2[:, :NQ].reshape(B, NH, HD), NKV)
             att, _k_new, k_c, v_c = fused_decode_attention(
                 qkv2, q_pk, cos_t, sin_t, lc["k"], lc["v"], old_lens,
-                num_heads=NH, ragged=ragged,
+                num_heads=NH,
             )
             new_cache[f"h{i}"] = {"k": k_c, "v": v_c}
             gamma_next = (
@@ -804,8 +807,7 @@ class Llama(CompositeModule):
             "layer_stream" in params or "mega_pack" in params.get("h0", {})
         ):
             x, new_cache = self._backbone_fused_decode(
-                params, x, cache, positions.astype(jnp.int32), cos, sin,
-                ragged=True,
+                params, x, cache, positions.astype(jnp.int32), cos, sin
             )
             return self._norm_logits(params, x), new_cache
         rows = jnp.arange(B)
