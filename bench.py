@@ -110,6 +110,7 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8", "int4")) -> dict:
     from mila_tpu.models.llama import (
         add_quantized_lm_head,
         fuse_llama_projections,
+        pack_decode_giga,
         pack_decode_layers,
     )
 
@@ -133,6 +134,9 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8", "int4")) -> dict:
                 qparams = pack_decode_layers(add_quantized_lm_head(
                     quantize_model_params(params, qdt), qdt
                 ))
+                # Whole-model single-kernel decode stream (falls through to
+                # the layer_stream two-kernel path when it doesn't pack).
+                qparams = pack_decode_giga(qparams, cfg)
                 detail[dt] = bench_decode(model, qparams, cfg, batch=8,
                                           prompt_len=128)
         except Exception as e:  # noqa: BLE001 - report per-dtype failures

@@ -53,8 +53,10 @@ def scan_decode_fn(model):
     serves both timing lengths (remote compiles dominate bench wall time).
 
     Uses the model's greedy step (argmax fused into the quantized lm_head
-    stream where available) — the production greedy path."""
-    step = getattr(model, "greedy_step_with_cache", None)
+    stream where available) — the production greedy path. When the cache is
+    a stacked (k_pool, v_pool) tuple the whole step runs as ONE Pallas
+    kernel (model.giga_step, kernels/decode_giga.py)."""
+    base_step = getattr(model, "greedy_step_with_cache", None)
 
     def plain_step(params, token, cache, pos):
         logits, cache = model.forward_with_cache(params, token, cache, pos)
@@ -63,7 +65,16 @@ def scan_decode_fn(model):
         ).astype(jnp.int32)[:, None]
         return nxt, cache
 
-    step = step or plain_step
+    base_step = base_step or plain_step
+
+    def step(params, token, cache, pos):
+        if isinstance(cache, tuple):  # giga path: stacked pools
+            B = token.shape[0]
+            lens = jnp.full((B,), 0, jnp.int32) + pos
+            tok, _logits, kp, vp = model.giga_step(
+                params, token, cache[0], cache[1], lens)
+            return tok, (kp, vp)
+        return base_step(params, token, cache, pos)
 
     def run(params, first_token, cache, start_pos, steps):
         def body(_, carry):
@@ -158,6 +169,9 @@ def bench_decode(model, params, cfg, batch: int, prompt_len: int = 128,
     _, cache2 = jax.jit(
         lambda p, t, c: model.forward_with_cache(p, t, c, 0)
     )(params, prompt, cache)
+    if "giga_pack" in params and hasattr(model, "stack_kv_cache"):
+        # Whole-model single-kernel decode: stacked pools (one-time copy).
+        cache2 = jax.jit(model.stack_kv_cache)(cache2)
     token = jnp.zeros((batch, 1), jnp.int32)
     f = scan_decode_fn(model)
     # The cache is donated into every call and threaded back out.

@@ -412,6 +412,51 @@ def pack_decode_megalayers(params: dict, cfg, *, bn: int = 512) -> dict:
     return out
 
 
+def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
+    """Add the WHOLE-MODEL decode weight stream (``giga_pack``): every
+    layer's slot-permuted wo + wgu + down + next-layer wqkv plus the padded
+    quantized lm_head, stacked into one [NTOT, H, bn] tile array driven by
+    kernels/decode_giga.py (one Pallas kernel per decode step). Run AFTER
+    fuse_llama_projections + quantize_model_params + add_quantized_lm_head.
+    All-or-nothing: falls back to the per-layer streams when shapes don't
+    fit."""
+    from mila_tpu.inference.quantize import QTensor
+    from mila_tpu.kernels.decode_giga import pack_giga
+
+    def get_qt(blk, name):
+        w = blk.get(name, {}).get("weight") if isinstance(blk, dict) else None
+        return w if isinstance(w, QTensor) else None
+
+    head = params.get("lm_head_q")
+    if not isinstance(head, QTensor):
+        return params
+    layer_names = sorted(
+        (n for n in params if n.startswith("h") and n[1:].isdigit()),
+        key=lambda n: int(n[1:]),
+    )
+    weights, ga, gm = [], [], []
+    for name in layer_names:
+        blk = params[name]
+        wo, wgu, down, wqkv = (get_qt(blk, k)
+                               for k in ("wo", "wgu", "down", "wqkv"))
+        if not all((wo, wgu, down, wqkv)):
+            return params
+        weights.append((wo, wgu, down, wqkv))
+        ga.append(jnp.asarray(blk["ln_attn"]["gamma"], jnp.float32))
+        gm.append(jnp.asarray(blk["ln_mlp"]["gamma"], jnp.float32))
+    pack = pack_giga(
+        weights, head, jnp.stack(ga), jnp.stack(gm),
+        jnp.asarray(params["norm_f"]["gamma"], jnp.float32),
+        nh=cfg.num_heads, nkv=cfg.num_kv_heads, hd=cfg.hd,
+        vocab=cfg.vocab_size, eps=cfg.rms_eps, bn=bn,
+    )
+    if pack is None:
+        return params
+    out = dict(params)
+    out["giga_pack"] = pack
+    return out
+
+
 def add_quantized_lm_head(params: dict, dtype: str = "int8",
                           pad_to: int = 2048) -> dict:
     """For tied-embedding models: add an int8/fp8 copy of wte^T used only by
@@ -529,6 +574,53 @@ class Llama(CompositeModule):
             logits, new_cache = self.forward_with_cache(params, tokens, cache, pos)
         nxt = jnp.argmax(logits[:, -1, : cfg.vocab_size], axis=-1)
         return nxt.astype(jnp.int32)[:, None], new_cache
+
+    # --- whole-model single-kernel decode (kernels/decode_giga.py) ---
+
+    def stack_kv_cache(self, cache: dict):
+        """Per-layer dict cache -> stacked (k_pool, v_pool) [L, B, T, NKV,
+        HD] for the giga decode step (one-time copy after prefill)."""
+        cfg: LlamaConfig = self.config
+        k = jnp.stack([cache[f"h{i}"]["k"] for i in range(cfg.num_layers)])
+        v = jnp.stack([cache[f"h{i}"]["v"] for i in range(cfg.num_layers)])
+        return k, v
+
+    def unstack_kv_cache(self, k_pool, v_pool) -> dict:
+        return {
+            f"h{i}": {"k": k_pool[i], "v": v_pool[i]}
+            for i in range(self.config.num_layers)
+        }
+
+    def _giga_tables(self, lens):
+        """Full-width tiled rope tables for the giga kernel (cos duplicated
+        across split halves, sin pre-signed [-sin | sin])."""
+        cfg: LlamaConfig = self.config
+        B = lens.shape[0]
+        d2 = cfg.hd // 2
+        cos, sin = self._rope(lens[:, None])
+        c2 = cos.reshape(B, d2)
+        s2 = sin.reshape(B, d2)
+        cos_t = jnp.tile(jnp.concatenate([c2, c2], -1), (1, cfg.num_kv_heads))
+        sin_t = jnp.tile(jnp.concatenate([-s2, s2], -1), (1, cfg.num_kv_heads))
+        return cos_t, sin_t
+
+    def giga_step(self, params, tokens, k_pool, v_pool, lens):
+        """One whole-model decode step in ONE Pallas kernel: embed lookup
+        outside, then [all layers' attention + cache RMW + tails + lm_head
+        argmax] inside (kernels/decode_giga.py). ``lens`` [B] int32 = live
+        cache rows per sequence (current token excluded). Returns
+        (next_token [B,1] i32, logits [B, vocab], k_pool', v_pool') with the
+        pools updated in place — donate them."""
+        from mila_tpu.kernels.decode_giga import giga_decode_step
+
+        cfg: LlamaConfig = self.config
+        x = jnp.take(params["embed"]["wte"], tokens.reshape(-1), axis=0)
+        cos_t, sin_t = self._giga_tables(lens)
+        tok, logits, k_pool, v_pool = giga_decode_step(
+            x.astype(jnp.bfloat16), cos_t, sin_t, lens,
+            params["giga_pack"], k_pool, v_pool,
+        )
+        return tok, logits[:, : cfg.vocab_size], k_pool, v_pool
 
     def apply(self, params, tokens, *, training=False, rngs=None):
         cfg: LlamaConfig = self.config
