@@ -528,8 +528,48 @@ def kernel_check() -> dict:
         for nm, g, w in zip(("x_out", "qkv_next", "kc", "vc"), got, want):
             check(f"mega_layer_{nm}", g, w, rtol=4e-2, atol=4e-2)
 
+    def sec_giga():
+        # Whole-model giga decode kernel at PRODUCTION per-layer shapes
+        # (full H=2048/I=8192/NH=32 — the VMEM-risk dimensions; L=2 and a
+        # head slice keep the oracle cheap; bench_llama_decode runs the
+        # true 16-layer + 129k-head compile every round anyway).
+        from benchmarks.r5_giga import build as build_giga
+        from mila_tpu.kernels.decode_giga import giga_decode_step
+
+        dims = dict(L=2, H=2048, I=8192, NH=32, NKV=8, HD=64, VPAD=4096,
+                    vocab=4000)
+        pack = build_giga("int8", **dims)
+        Bg, Tg, NKVg, HDg = 8, 512, 8, 64
+        KDg = NKVg * HDg
+        kg = jax.random.fold_in(key, 77)
+        xg = jax.random.normal(kg, (Bg, 2048), jnp.bfloat16)
+        lens_g = jnp.array([0, 8, 63, 64, 128, 200, 500, 511], jnp.int32)
+        d2 = HDg // 2
+        inv = 1.0 / (500000.0 ** (jnp.arange(d2, dtype=jnp.float32) / d2))
+        ang = lens_g[:, None].astype(jnp.float32) * inv[None]
+        c2g, s2g = jnp.cos(ang), jnp.sin(ang)
+        cos_g = jnp.tile(jnp.concatenate([c2g, c2g], -1), (1, NKVg))
+        sin_g = jnp.tile(jnp.concatenate([-s2g, s2g], -1), (1, NKVg))
+        kp = jax.random.normal(jax.random.fold_in(kg, 1),
+                               (2, Bg, Tg, NKVg, HDg), jnp.bfloat16)
+        vp = jax.random.normal(jax.random.fold_in(kg, 2),
+                               (2, Bg, Tg, NKVg, HDg), jnp.bfloat16)
+        got = giga_decode_step(xg, cos_g, sin_g, lens_g, pack, kp, vp,
+                               interpret=False)
+        want = giga_decode_step(xg, cos_g, sin_g, lens_g, pack, kp, vp,
+                                interpret=True)
+        for nm, g, wv in zip(("logits", "kc", "vc"),
+                             (got[1], got[2], got[3]),
+                             (want[1], want[2], want[3])):
+            check(f"giga_{nm}", g, wv, rtol=5e-2, atol=5e-2)
+        # greedy tokens: near-ties on random weights may flip; require 7/8
+        agree = float((got[0] == want[0]).sum())
+        results["giga_token_agreement"] = {
+            "pass": bool(agree >= 7), "max_abs_err": 8 - agree}
+
     for name, fn in (
         ("quant_matmul", sec_quant_matmul),
+        ("giga", sec_giga),
         ("mega_layer", sec_mega_layer),
         ("quant_matmul_lm_head", sec_quant_matmul_lm_head),
         ("mlp_megakernel", sec_mlp_megakernel),
@@ -556,11 +596,74 @@ def kernel_check() -> dict:
     }
 
 
+def _current_round() -> int:
+    import glob
+    import re
+
+    ns = [int(re.search(r"BENCH_r0*(\d+)", p).group(1))
+          for p in glob.glob(str(Path(__file__).parent / "BENCH_r*.json"))]
+    return (max(ns) + 1) if ns else 1
+
+
+def check_status_header() -> dict:
+    """docs/STATUS.md must carry a `round: N` header for the CURRENT round
+    — a stale STATUS fails preflight (VERDICT r5 item 4: fifth round the
+    rewrite was demanded; now structurally enforced)."""
+    import re
+
+    cur = _current_round()
+    status = Path(__file__).parent / "docs" / "STATUS.md"
+    text = status.read_text() if status.exists() else ""
+    m = re.search(r"^round:\s*(\d+)", text, re.M)
+    ok = bool(m) and int(m.group(1)) == cur
+    return {"pass": ok, "expected_round": cur,
+            "found": int(m.group(1)) if m else None}
+
+
+def check_dtype_regression(result: dict) -> dict:
+    """Per-dtype roofline comparison against the previous round's recorded
+    BENCH json: a silent >10% drop (or a new error row) fails preflight
+    (VERDICT r5 item 4 — the r4 fp8 0.586->0.39 collapse shipped unnoticed
+    because nothing diffed the rounds)."""
+    import glob
+    import re
+
+    files = sorted(
+        glob.glob(str(Path(__file__).parent / "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r0*(\d+)", p).group(1)),
+    )
+    if not files:
+        return {"pass": True, "note": "no previous round"}
+    prev = json.loads(Path(files[-1]).read_text())
+    prev_detail = (prev.get("parsed") or {}).get("detail") or {}
+    checks = {}
+    ok = True
+    for dt in ("int8", "bf16", "fp8", "int4"):
+        p = prev_detail.get(dt) or {}
+        c = result.get("detail", {}).get(dt) or {}
+        pv = p.get("roofline_frac")
+        cv = c.get("roofline_frac")
+        if cv is None:
+            # current row errored: only acceptable if it errored before too
+            row_ok = pv is None
+            checks[dt] = {"pass": row_ok, "prev": pv,
+                          "cur": c.get("error", "missing")[:120]}
+        elif pv is None:
+            checks[dt] = {"pass": True, "prev": None, "cur": cv}
+        else:
+            row_ok = cv >= 0.9 * pv
+            checks[dt] = {"pass": row_ok, "prev": pv, "cur": cv}
+        ok = ok and checks[dt]["pass"]
+    return {"pass": ok, **checks}
+
+
 def preflight() -> dict:
-    """Round-end guard (VERDICT r3 item 9): on-chip kernel equivalence plus
-    a short REAL decode (2-layer 1B-config, int8 megakernel path) that must
-    produce finite logits. Run before any perf-path commit is considered
-    done; exits nonzero on any failure."""
+    """Round-end guard (VERDICT r3 item 9 / r5 item 4): on-chip kernel
+    equivalence, a short REAL decode smoke, the full per-dtype llama bench
+    diffed against the PREVIOUS round's recorded json (>10% roofline drop
+    or a new error row fails), and a STATUS.md round-header freshness
+    check. Run before any perf-path commit is considered done; exits
+    nonzero on any failure."""
     import jax
     import jax.numpy as jnp
 
@@ -607,17 +710,54 @@ def preflight() -> dict:
     kc["detail"]["decode_smoke"] = kc["detail"].get(
         "decode_smoke", {"pass": decode_ok}
     )
+
+    status_ok = check_status_header()
+    kc["detail"]["status_header"] = status_ok
+    try:
+        llama = bench_llama_decode()
+        reg = check_dtype_regression(llama)
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        reg = {"pass": False, "error": f"{type(e).__name__}: {e}"[:200]}
+    kc["detail"]["dtype_regression"] = reg
+
+    all_ok = ok and decode_ok and status_ok["pass"] and reg["pass"]
     result = {
         "metric": "preflight",
-        "value": int(ok and decode_ok),
-        "unit": "1 = all kernel checks + decode smoke pass",
-        "vs_baseline": float(ok and decode_ok),
+        "value": int(all_ok),
+        "unit": ("1 = kernel checks + decode smoke + STATUS header + "
+                 "per-dtype no-regression"),
+        "vs_baseline": float(all_ok),
         "detail": kc["detail"],
     }
     print(json.dumps(result))
-    if not (ok and decode_ok):
+    if not all_ok:
         raise SystemExit(1)
     return result
+
+
+def bench_engine_serving() -> dict:
+    """On-chip continuous-batching serving (VERDICT r5 item 5): Llama-1B
+    INT8, paged KV, 24 mixed-length requests; speculative decoding off and
+    on (tiny random draft — measures the spec machinery's cost at ~zero
+    acceptance, the worst case; real drafts only help)."""
+    from benchmarks.engine_bench import run as engine_run
+
+    import mila_tpu
+
+    mila_tpu.initialize(0)
+    base = engine_run(scale="llama-1b", quantize="int8", requests=24,
+                      max_batch=8, new_tokens=64, max_len=512)
+    try:
+        spec = engine_run(scale="llama-1b", quantize="int8", requests=12,
+                          max_batch=8, new_tokens=64, max_len=512,
+                          speculative_k=4)
+        base["detail"]["speculative"] = spec["detail"] | {
+            "tok_s": spec["value"]}
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        base["detail"]["speculative"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return base
 
 
 BENCHES = {
@@ -626,6 +766,7 @@ BENCHES = {
     "gpt2": bench_gpt2_decode,
     "flash": bench_flash_prefill,
     "paged": bench_paged_decode,
+    "engine": bench_engine_serving,
     "kernel_check": kernel_check,
 }
 
@@ -654,7 +795,8 @@ def main() -> int:
             # bench thanks to the persistent compile cache).
             for name, fn in (("kernel_check", kernel_check),
                              ("flash", bench_flash_prefill),
-                             ("paged", bench_paged_decode)):
+                             ("paged", bench_paged_decode),
+                             ("engine", bench_engine_serving)):
                 try:
                     sub = fn()
                     result["detail"][name] = {

@@ -18,16 +18,35 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import numpy as np
 
 
+def run(requests=24, max_batch=8, new_tokens=64, scale="char",
+        layout="auto", kv_dtype="bfloat16", quantize="", speculative_k=0,
+        max_len=512, prompt_max=100):
+    import types
+    args = types.SimpleNamespace(
+        requests=requests, max_batch=max_batch, new_tokens=new_tokens,
+        scale=scale, layout=layout, kv_dtype=kv_dtype, quantize=quantize,
+        speculative_k=speculative_k, max_len=max_len, prompt_max=prompt_max)
+    return _run(args)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=24)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--new-tokens", type=int, default=64)
-    ap.add_argument("--scale", default="char", choices=["char", "gpt2-124m"])
+    ap.add_argument("--scale", default="char",
+                    choices=["char", "gpt2-124m", "llama-1b"])
+    ap.add_argument("--quantize", default="", choices=["", "int8", "fp8_e4m3"])
+    ap.add_argument("--speculative-k", type=int, default=0)
+    ap.add_argument("--max-len", type=int, default=512)
+    ap.add_argument("--prompt-max", type=int, default=100)
     ap.add_argument("--layout", default="auto", choices=["auto", "paged", "contiguous"])
     ap.add_argument("--kv-dtype", default="bfloat16", choices=["bfloat16", "float32", "int8"])
     args = ap.parse_args()
+    print(json.dumps(_run(args)))
 
+
+def _run(args):
     import jax
 
     import mila_tpu
@@ -35,18 +54,45 @@ def main():
     from mila_tpu.models.gpt2 import GPT2, GPT2Config
 
     mila_tpu.initialize(0)
+    draft_model = draft_params = None
     if args.scale == "char":
-        cfg = GPT2Config.char_lm(vocab_size=65).replace(max_seq_len=512)
+        cfg = GPT2Config.char_lm(vocab_size=65).replace(max_seq_len=args.max_len)
+        model = GPT2(cfg)
+        params = model.init(jax.random.key(0), (1, 32))
+    elif args.scale == "gpt2-124m":
+        cfg = GPT2Config.gpt2_124m().replace(max_seq_len=args.max_len)
+        model = GPT2(cfg)
+        params = model.init(jax.random.key(0), (1, 32))
     else:
-        cfg = GPT2Config.gpt2_124m().replace(max_seq_len=512)
-    model = GPT2(cfg)
-    params = model.init(jax.random.key(0), (1, 32))
+        # BASELINE config 4: Llama-3.2-1B INT8, continuous batching, paged
+        # KV — the on-chip serving measurement (VERDICT r5 item 5).
+        from mila_tpu.inference.quantize import quantize_model_params
+        from mila_tpu.models.llama import (
+            Llama, LlamaConfig, add_quantized_lm_head,
+            fuse_llama_projections,
+        )
+
+        cfg = LlamaConfig.llama32_1b().replace(max_seq_len=args.max_len,
+                                               param_dtype="bfloat16")
+        model = Llama(cfg)
+        params = model.init(jax.random.key(0), (1, 32))
+        if args.quantize:
+            params = add_quantized_lm_head(
+                quantize_model_params(fuse_llama_projections(params),
+                                      args.quantize), args.quantize)
+        if args.speculative_k:
+            dcfg = LlamaConfig.tiny(vocab_size=cfg.vocab_size).replace(
+                max_seq_len=args.max_len, param_dtype="bfloat16")
+            draft_model = Llama(dcfg)
+            draft_params = draft_model.init(jax.random.key(7), (1, 8))
 
     engine = InferenceEngine(
         model, params,
-        EngineConfig(max_batch=args.max_batch, max_len=512,
+        EngineConfig(max_batch=args.max_batch, max_len=args.max_len,
                      prefill_buckets=(32, 64, 128), cache_dtype=args.kv_dtype,
-                     kv_layout=args.layout),
+                     kv_layout=args.layout,
+                     speculative_k=args.speculative_k,
+                     draft_model=draft_model, draft_params=draft_params),
     )
     rng = np.random.default_rng(0)
 
@@ -62,7 +108,7 @@ def main():
 
     reqs = []
     for i in range(args.requests):
-        plen = int(rng.integers(8, 100))
+        plen = int(rng.integers(8, args.prompt_max))
         prompt = rng.integers(0, cfg.vocab_size, plen).astype(np.int32)
         reqs.append(engine.submit(prompt, max_new_tokens=args.new_tokens))
 
@@ -87,9 +133,14 @@ def main():
             "decode_steps": engine.stats["steps"],
             "kv_layout": engine.kv_layout,
             "kv_dtype": args.kv_dtype,
+            "scale": args.scale,
+            "quantize": args.quantize,
+            "speculative_k": args.speculative_k,
+            "spec_accepted": engine.stats.get("spec_accepted", 0),
+            "spec_proposed": engine.stats.get("spec_proposed", 0),
         },
     }
-    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":

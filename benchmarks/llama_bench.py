@@ -110,6 +110,18 @@ def decode_step_bytes(params, cfg, batch: int, cache_len: int,
                       kv_bytes_per_el: int = 2) -> dict:
     """Mandatory HBM traffic of one decode step: streamed weight bytes +
     KV-cache read bytes (the roofline denominator for bench.py)."""
+    if "giga_pack" in params:
+        # The giga stream IS the decode-path weight image (fp8/int4 are
+        # re-expressed as int8 tiles at pack time — requant.py): count the
+        # bytes actually mandatory for the chosen representation.
+        gp = params["giga_pack"]
+        weight = gp.w.nbytes + gp.s.nbytes
+        nkv = getattr(cfg, "num_kv_heads", getattr(cfg, "num_heads", 1))
+        H = getattr(cfg, "hidden_size", 0)
+        hd = cfg.hd if hasattr(cfg, "hd") else H // cfg.num_heads
+        kv = (2 * batch * cache_len * nkv * hd * kv_bytes_per_el
+              * cfg.num_layers)
+        return {"weight_bytes": int(weight), "kv_read_bytes": int(kv)}
     weight = 0
     has_qhead = type(params.get("lm_head_q")).__name__ == "QTensor"
     for name, sub in params.items():

@@ -47,7 +47,7 @@ def build(dtype, *, L, H, I, NH, NKV, HD, VPAD, vocab):
     return pack
 
 
-def run_case(name, dims, B, T, live, dtype, do_time):
+def run_case(name, dims, B, T, live, dtype, do_time, skip_numerics=False):
     from mila_tpu.kernels.decode_giga import giga_decode_step
 
     L, H, I, NH, NKV, HD = (dims[k] for k in
@@ -72,31 +72,34 @@ def run_case(name, dims, B, T, live, dtype, do_time):
                                   (L, B, T, NKV, HD), jnp.bfloat16))
 
     kp, vp = pools(0)
-    got = giga_decode_step(x, cos_t, sin_t, lens, pack, kp, vp,
-                           interpret=False)
-    want = giga_decode_step(x, cos_t, sin_t, lens, pack, kp, vp,
-                            interpret=True)
-    names = ("token", "logits", "k_pool", "v_pool")
-    for nm, g, wv in zip(names, got, want):
-        g = np.asarray(g, np.float32)
-        wv = np.asarray(wv, np.float32)
-        if nm == "logits":
-            g = np.where(np.isfinite(g), g, 0.0)
-            wv = np.where(np.isfinite(wv), wv, 0.0)
-        err = float(np.max(np.abs(g - wv))) if g.size else 0.0
-        tol = 0.5 if nm == "token" else 5e-2
-        ok = np.allclose(g, wv, rtol=5e-2, atol=tol)
-        print(f"{name} {nm}: max_abs_err={err:.5f} "
-              f"{'PASS' if ok else 'FAIL'}")
+    if not skip_numerics:
+        got = giga_decode_step(x, cos_t, sin_t, lens, pack, kp, vp,
+                               interpret=False)
+        want = giga_decode_step(x, cos_t, sin_t, lens, pack, kp, vp,
+                                interpret=True)
+        names = ("token", "logits", "k_pool", "v_pool")
+        for nm, g, wv in zip(names, got, want):
+            g = np.asarray(g, np.float32)
+            wv = np.asarray(wv, np.float32)
+            if nm == "logits":
+                g = np.where(np.isfinite(g), g, 0.0)
+                wv = np.where(np.isfinite(wv), wv, 0.0)
+            err = float(np.max(np.abs(g - wv))) if g.size else 0.0
+            tol = 0.5 if nm == "token" else 5e-2
+            ok = np.allclose(g, wv, rtol=5e-2, atol=tol)
+            print(f"{name} {nm}: max_abs_err={err:.5f} "
+                  f"{'PASS' if ok else 'FAIL'}")
 
     if not do_time:
         return
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def chain(n, kp, vp, x):
+    # The pack is a jit ARGUMENT (a closure-captured 1.2GB array becomes a
+    # module constant and blows the compile).
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def chain(n, pk, kp, vp, x):
         def body(_, c):
             kp, vp, x = c
-            tok, _lg, kp, vp = giga_decode_step(x, cos_t, sin_t, lens, pack,
+            tok, _lg, kp, vp = giga_decode_step(x, cos_t, sin_t, lens, pk,
                                                 kp, vp, interpret=False)
             # feed a token-dependent perturbation back so the loop can't be
             # hoisted (embedding lookup stands outside the kernel in prod)
@@ -111,14 +114,17 @@ def run_case(name, dims, B, T, live, dtype, do_time):
     def run(n):
         nonlocal kp, vp
         t0 = time.perf_counter()
-        acc, kp, vp = chain(jnp.int32(n), kp, vp, x)
+        acc, kp, vp = chain(jnp.int32(n), pack, kp, vp, x)
         float(acc)
         return time.perf_counter() - t0
 
     run(2)
-    n = 32
-    t1 = min(run(n) for _ in range(3))
-    t2 = min(run(2 * n) for _ in range(3))
+    n = 64
+    r1 = [run(n) for _ in range(4)]
+    r2 = [run(2 * n) for _ in range(4)]
+    print("raw t1:", [round(v, 4) for v in r1])
+    print("raw t2:", [round(v, 4) for v in r2])
+    t1, t2 = min(r1), min(r2)
     per = (t2 - t1) / n
     wbytes = pack.w.nbytes + pack.s.nbytes
     kvb = 2 * L * B * int(np.mean(np.asarray(lens))) * KD * 2
@@ -136,17 +142,19 @@ def main():
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--live", type=int, default=192)
     ap.add_argument("--dtype", default="int8")
+    ap.add_argument("--skip-numerics", action="store_true")
     args = ap.parse_args()
 
     if not args.full:
         tiny = dict(L=2, H=512, I=1024, NH=8, NKV=8, HD=64, VPAD=1024,
                     vocab=1000)
-        run_case("tiny", tiny, 4, 128, 64, args.dtype, args.time)
+        run_case("tiny", tiny, 4, 128, 64, args.dtype, args.time,
+                 args.skip_numerics)
     else:
         full = dict(L=16, H=2048, I=8192, NH=32, NKV=8, HD=64,
                     VPAD=129024, vocab=128256)
         run_case("full-1b", full, args.batch, args.ctx, args.live,
-                 args.dtype, args.time)
+                 args.dtype, args.time, args.skip_numerics)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,17 @@ def make_kernel(mode):
             p = jax.lax.dot(xq_ref[...], w_ref[0],
                             preferred_element_type=jnp.int32)
             acc_ref[...] += p[:1, :].astype(jnp.float32) * 0.01
+        elif mode == "fp8-bitdecode":
+            from mila_tpu.kernels.quant_matmul import _load_w
+            w = _load_w(w_ref[0])
+            p = jax.lax.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
+            acc_ref[...] += p[:1, :]
+        elif mode == "fp8-astype":
+            w = w_ref[0].astype(jnp.bfloat16)
+            p = jax.lax.dot(x_ref[...], w,
+                            preferred_element_type=jnp.float32)
+            acc_ref[...] += p[:1, :]
 
         @pl.when(t == NT - 1)
         def _():
@@ -63,11 +74,15 @@ def make_kernel(mode):
 def main():
     key = jax.random.key(0)
     w = jax.random.randint(key, (NT, BK, BN), -127, 128, jnp.int8)
+    wf8 = jax.random.normal(key, (NT, BK, BN)).astype(jnp.float8_e4m3fn)
     x = jax.random.normal(jax.random.fold_in(key, 1), (B, BK), jnp.bfloat16)
     xq = jax.random.randint(jax.random.fold_in(key, 2), (B, BK), -127, 128,
                             jnp.int8)
 
-    for mode in ("dma", "bf16", "int8"):
+    import sys as _sys
+    modes = (_sys.argv[1:] if len(_sys.argv) > 1
+             else ["dma", "bf16", "int8", "fp8-bitdecode", "fp8-astype"])
+    for mode in modes:
         f = pl.pallas_call(
             make_kernel(mode),
             grid=(NT,),
@@ -95,11 +110,17 @@ def main():
             x, xq = jax.lax.fori_loop(0, n, body, (x, xq))
             return x[0, 0].astype(jnp.float32)
 
-        float(chain(jnp.int32(2), x, xq, w))
+        wm = wf8 if mode.startswith("fp8") else w
+        float(chain(jnp.int32(2), x, xq, wm))
 
         def run(n):
             t0 = time.perf_counter()
             float(chain(jnp.int32(n), x, xq, w))
+            return time.perf_counter() - t0
+
+        def run(n, wm=wm):
+            t0 = time.perf_counter()
+            float(chain(jnp.int32(n), x, xq, wm))
             return time.perf_counter() - t0
 
         run(64)

@@ -235,6 +235,7 @@ def _giga_kernel(
     n_head: int,
     vocab: int,
     sm_scale: float,
+    tps: int,
 ):
     rowk = rowbufs[:batch]
     rowv = rowbufs[batch : 2 * batch]
@@ -253,19 +254,6 @@ def _giga_kernel(
     for b in range(1, batch):
         maxlen = jnp.maximum(maxlen, lens_ref[b])
 
-    # Layer/segment coordinates (t >= n_qkv side; clamped elsewhere).
-    tl = t - n_qkv
-    l = jax.lax.div(tl, tpl)  # correct for the short last layer too:
-    # tl in [ (L-1)*tpl, (L-1)*tpl + tpl - n_qkv ) still divides to L-1
-    j = tl - l * tpl
-    ht = t - head_base
-
-    in_qkv0 = t < n_qkv
-    in_layers = (t >= n_qkv) & (t < head_base)
-    in_head = t >= head_base
-
-    w = _load_w(w_ref[0])
-    s = s_ref[0, 0]
 
     def kv_copy(lyr, blk, slot):
         return (
@@ -316,259 +304,281 @@ def _giga_kernel(
         bi_scr[...] = jnp.zeros(bi_scr.shape, jnp.int32)
         prefetch_layer_kv(0)
 
-    # ---------------- qkv0 segment: tiles 0..n_qkv-1 ----------------
-    @pl.when(in_qkv0)
-    def _qkv0():
-        p = jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
-        qkv_scr[t] = p * s[None, :]
+    def process_tile(tt, w, s):
+        # Layer/segment coordinates for THIS tile (tt >= n_qkv side;
+        # clamped elsewhere).
+        tl = tt - n_qkv
+        l = jax.lax.div(tl, tpl)  # correct for the short last layer too:
+        # tl in [ (L-1)*tpl, (L-1)*tpl + tpl - n_qkv ) still divides to L-1
+        j = tl - l * tpl
+        ht = tt - head_base
 
-    # ---------------- attention at j == 0 of each layer ----------------
-    @pl.when(in_layers & (j == 0))
-    def _attention():
-        # RMW row reads for this layer's cache insert.
-        for b in range(batch):
-            st = rd_blk(b)
-            pltpu.make_async_copy(
-                ko_ref.at[l, b, pl.ds(st, 8)], rowk[b], wrsem).start()
-            pltpu.make_async_copy(
-                vo_ref.at[l, b, pl.ds(st, 8)], rowv[b], wrsem).start()
+        in_qkv0 = tt < n_qkv
+        in_layers = (tt >= n_qkv) & (tt < head_base)
+        in_head = tt >= head_base
 
-        # Raw projection row (slot order) from the previous segment.
-        q_rows = jnp.concatenate(
-            [qkv_scr[c] for c in range(n_qkv - 2)], axis=1
-        )  # [B, NQ] f32
-        kn = rope(qkv_scr[n_qkv - 2], cos_ref[...], sin_ref[...])  # [B, KD]
-        vn = qkv_scr[n_qkv - 1]
+        # ---------------- qkv0 segment: tiles 0..n_qkv-1 ----------------
+        @pl.when(in_qkv0)
+        def _qkv0():
+            p = jax.lax.dot(xn_scr[...], w,
+                            preferred_element_type=jnp.float32)
+            qkv_scr[tt] = p * s[None, :]
 
-        # Lane-packed queries via the MXU unpack (layer_mega module doc).
-        lane_nq = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 1)
-        row_nq = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 0)
-        sel = (lane_nq >= row_nq * hd) & (lane_nq < (row_nq + 1) * hd)
-        ones_col = jnp.ones((nh, 1), jnp.bfloat16)
-        q_pk = []
-        for b in range(batch):
-            bc = jax.lax.dot(
-                ones_col, q_rows[b : b + 1].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-            m = jnp.where(sel, bc, 0.0)
-            packed = None
-            for c in range(nq // kd):
-                part = m[:, c * kd : (c + 1) * kd]
-                packed = part if packed is None else packed + part
-            q_pk.append(
-                rope(packed, cos_ref[b][None, :], sin_ref[b][None, :])
-                .astype(jnp.bfloat16))
+        # ---------------- attention at j == 0 of each layer ----------------
+        @pl.when(in_layers & (j == 0))
+        def _attention():
+            # RMW row reads for this layer's cache insert.
+            for b in range(batch):
+                st = rd_blk(b)
+                pltpu.make_async_copy(
+                    ko_ref.at[l, b, pl.ds(st, 8)], rowk[b], wrsem).start()
+                pltpu.make_async_copy(
+                    vo_ref.at[l, b, pl.ds(st, 8)], rowv[b], wrsem).start()
 
-        # RMW insert of the new row (write-back overlaps the block loop).
-        for b in range(batch):
-            pltpu.make_async_copy(
-                ko_ref.at[l, b, pl.ds(rd_blk(b), 8)], rowk[b], wrsem).wait()
-            pltpu.make_async_copy(
-                vo_ref.at[l, b, pl.ds(rd_blk(b), 8)], rowv[b], wrsem).wait()
-        rowid = jax.lax.broadcasted_iota(jnp.int32, (8, kd), 0)
-        for b in range(batch):
-            r = lens_ref[b] - rd_blk(b)
-            k8 = jnp.where(rowid == r,
-                           jnp.broadcast_to(kn[b : b + 1], (8, kd)),
-                           rowk[b][...].astype(jnp.float32))
-            v8 = jnp.where(rowid == r,
-                           jnp.broadcast_to(vn[b : b + 1], (8, kd)),
-                           rowv[b][...].astype(jnp.float32))
-            rowk[b][...] = k8.astype(rowk[b].dtype)
-            rowv[b][...] = v8.astype(rowv[b].dtype)
-        for b in range(batch):
-            st = rd_blk(b)
-            pltpu.make_async_copy(
-                rowk[b], ko_ref.at[l, b, pl.ds(st, 8)], wrsem).start()
-            pltpu.make_async_copy(
-                rowv[b], vo_ref.at[l, b, pl.ds(st, 8)], wrsem).start()
+            # Raw projection row (slot order) from the previous segment.
+            q_rows = jnp.concatenate(
+                [qkv_scr[c] for c in range(n_qkv - 2)], axis=1
+            )  # [B, NQ] f32
+            kn = rope(qkv_scr[n_qkv - 2], cos_ref[...], sin_ref[...])  # [B, KD]
+            vn = qkv_scr[n_qkv - 1]
 
-        # Online softmax over the prefetched KV block ring.
-        m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
-        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
-        acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
-        col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, bt), 1)
-        for blk in range(nb):
-            @pl.when(blk * bt < maxlen)
-            def _(blk=blk):
-                slot = blk % 2
-                ck, cv = kv_copy(l, blk, slot)
-                ck.wait()
-                cv.wait()
-                for b in range(batch):
-                    length = lens_ref[b]
-                    sc = jax.lax.dot_general(
-                        q_pk[b], kbuf[slot, b].astype(jnp.bfloat16),
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) * sm_scale  # [NH, bt]
-                    sc = jnp.where(col_t + blk * bt < length, sc, MASK_VALUE)
-                    m_prev = m_scr[b]
-                    m_next = jnp.maximum(m_prev, sc.max(axis=1, keepdims=True))
-                    alpha = jnp.exp(m_prev - m_next)
-                    p = jnp.exp(sc - m_next)
-                    l_scr[b] = alpha * l_scr[b] + jnp.sum(p, axis=1,
-                                                          keepdims=True)
-                    m_scr[b] = m_next
-                    pv = jax.lax.dot(
-                        p.astype(jnp.bfloat16),
-                        vbuf[slot, b].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-                    acc_scr[b] = acc_scr[b] * alpha + pv
-                if blk + 2 < nb:
-                    @pl.when((blk + 2) * bt < maxlen)
-                    def _():
-                        ck2, cv2 = kv_copy(l, blk + 2, slot)
-                        ck2.start()
-                        cv2.start()
+            # Lane-packed queries via the MXU unpack (layer_mega module doc).
+            lane_nq = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 1)
+            row_nq = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 0)
+            sel = (lane_nq >= row_nq * hd) & (lane_nq < (row_nq + 1) * hd)
+            ones_col = jnp.ones((nh, 1), jnp.bfloat16)
+            q_pk = []
+            for b in range(batch):
+                bc = jax.lax.dot(
+                    ones_col, q_rows[b : b + 1].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+                m = jnp.where(sel, bc, 0.0)
+                packed = None
+                for c in range(nq // kd):
+                    part = m[:, c * kd : (c + 1) * kd]
+                    packed = part if packed is None else packed + part
+                q_pk.append(
+                    rope(packed, cos_ref[b][None, :], sin_ref[b][None, :])
+                    .astype(jnp.bfloat16))
 
-        # Finalize: current token joins in-register; per-slot lane select;
-        # MXU flatten [NH, HD] -> [1, NQ] (slot order matches wo rows).
-        lane_hd = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 1)
-        row_hd = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 0)
-        sel2 = (lane_hd >= row_hd * hd) & (lane_hd < (row_hd + 1) * hd)
-        ones_row = jnp.ones((1, nh), jnp.float32)
-        slot_kv = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0) % nkv
-        for b in range(batch):
-            s_cur = jnp.sum(
-                q_pk[b].astype(jnp.float32) * kn[b : b + 1], axis=1,
-                keepdims=True) * sm_scale
-            m_fin = jnp.maximum(m_scr[b], s_cur)
-            alpha = jnp.exp(m_scr[b] - m_fin)
-            p_cur = jnp.exp(s_cur - m_fin)
-            lsum = l_scr[b] * alpha + p_cur
-            acc = acc_scr[b] * alpha + p_cur * vn[b : b + 1]
-            acc = acc / jnp.where(lsum == 0.0, 1.0, lsum)
-            att = None
-            for jj in range(nkv):
-                part = acc[:, jj * hd : (jj + 1) * hd] * (slot_kv == jj)
-                att = part if att is None else att + part
-            tiled = jnp.concatenate([att] * (nq // hd), axis=1)
-            mt = jnp.where(sel2, tiled, 0.0)
-            att_scr[b : b + 1] = jax.lax.dot(
-                ones_row, mt, preferred_element_type=jnp.float32
-            ).astype(att_scr.dtype)
+            # RMW insert of the new row (write-back overlaps the block loop).
+            for b in range(batch):
+                pltpu.make_async_copy(
+                    ko_ref.at[l, b, pl.ds(rd_blk(b), 8)], rowk[b], wrsem).wait()
+                pltpu.make_async_copy(
+                    vo_ref.at[l, b, pl.ds(rd_blk(b), 8)], rowv[b], wrsem).wait()
+            rowid = jax.lax.broadcasted_iota(jnp.int32, (8, kd), 0)
+            for b in range(batch):
+                r = lens_ref[b] - rd_blk(b)
+                k8 = jnp.where(rowid == r,
+                               jnp.broadcast_to(kn[b : b + 1], (8, kd)),
+                               rowk[b][...].astype(jnp.float32))
+                v8 = jnp.where(rowid == r,
+                               jnp.broadcast_to(vn[b : b + 1], (8, kd)),
+                               rowv[b][...].astype(jnp.float32))
+                rowk[b][...] = k8.astype(rowk[b].dtype)
+                rowv[b][...] = v8.astype(rowv[b].dtype)
+            for b in range(batch):
+                st = rd_blk(b)
+                pltpu.make_async_copy(
+                    rowk[b], ko_ref.at[l, b, pl.ds(st, 8)], wrsem).start()
+                pltpu.make_async_copy(
+                    rowv[b], vo_ref.at[l, b, pl.ds(st, 8)], wrsem).start()
 
-        # Prefetch the NEXT layer's first KV blocks; await the RMW
-        # write-back so its semaphore is drained before reuse.
-        @pl.when(l + 1 < L)
-        def _():
-            prefetch_layer_kv(l + 1)
-        for b in range(batch):
-            st = rd_blk(b)
-            pltpu.make_async_copy(
-                rowk[b], ko_ref.at[l, b, pl.ds(st, 8)], wrsem).wait()
-            pltpu.make_async_copy(
-                rowv[b], vo_ref.at[l, b, pl.ds(st, 8)], wrsem).wait()
+            # Online softmax over the prefetched KV block ring.
+            m_scr[...] = jnp.full(m_scr.shape, -jnp.inf, jnp.float32)
+            l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+            acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+            col_t = jax.lax.broadcasted_iota(jnp.int32, (nh, bt), 1)
+            for blk in range(nb):
+                @pl.when(blk * bt < maxlen)
+                def _(blk=blk):
+                    slot = blk % 2
+                    ck, cv = kv_copy(l, blk, slot)
+                    ck.wait()
+                    cv.wait()
+                    for b in range(batch):
+                        length = lens_ref[b]
+                        sc = jax.lax.dot_general(
+                            q_pk[b], kbuf[slot, b].astype(jnp.bfloat16),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * sm_scale  # [NH, bt]
+                        sc = jnp.where(col_t + blk * bt < length, sc, MASK_VALUE)
+                        m_prev = m_scr[b]
+                        m_next = jnp.maximum(m_prev, sc.max(axis=1, keepdims=True))
+                        alpha = jnp.exp(m_prev - m_next)
+                        p = jnp.exp(sc - m_next)
+                        l_scr[b] = alpha * l_scr[b] + jnp.sum(p, axis=1,
+                                                              keepdims=True)
+                        m_scr[b] = m_next
+                        pv = jax.lax.dot(
+                            p.astype(jnp.bfloat16),
+                            vbuf[slot, b].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                        acc_scr[b] = acc_scr[b] * alpha + pv
+                    if blk + 2 < nb:
+                        @pl.when((blk + 2) * bt < maxlen)
+                        def _():
+                            ck2, cv2 = kv_copy(l, blk + 2, slot)
+                            ck2.start()
+                            cv2.start()
 
-    # ---------------- layer tail over the weight stream ----------------
-    @pl.when(in_layers & (j < n_wo))
-    def _wo():
-        att = att_scr[...]
-        p = jax.lax.dot(att, w, preferred_element_type=jnp.float32)
-        xc = xres_scr[:, :bn]
-        for c in range(1, n_wo):
-            xc = jnp.where(j == c, xres_scr[:, c * bn : (c + 1) * bn], xc)
-        x1_scr[j] = p * s[None, :] + xc
+            # Finalize: current token joins in-register; per-slot lane select;
+            # MXU flatten [NH, HD] -> [1, NQ] (slot order matches wo rows).
+            lane_hd = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 1)
+            row_hd = jax.lax.broadcasted_iota(jnp.int32, (nh, nq), 0)
+            sel2 = (lane_hd >= row_hd * hd) & (lane_hd < (row_hd + 1) * hd)
+            ones_row = jnp.ones((1, nh), jnp.float32)
+            slot_kv = jax.lax.broadcasted_iota(jnp.int32, (nh, 1), 0) % nkv
+            for b in range(batch):
+                s_cur = jnp.sum(
+                    q_pk[b].astype(jnp.float32) * kn[b : b + 1], axis=1,
+                    keepdims=True) * sm_scale
+                m_fin = jnp.maximum(m_scr[b], s_cur)
+                alpha = jnp.exp(m_scr[b] - m_fin)
+                p_cur = jnp.exp(s_cur - m_fin)
+                lsum = l_scr[b] * alpha + p_cur
+                acc = acc_scr[b] * alpha + p_cur * vn[b : b + 1]
+                acc = acc / jnp.where(lsum == 0.0, 1.0, lsum)
+                att = None
+                for jj in range(nkv):
+                    part = acc[:, jj * hd : (jj + 1) * hd] * (slot_kv == jj)
+                    att = part if att is None else att + part
+                tiled = jnp.concatenate([att] * (nq // hd), axis=1)
+                mt = jnp.where(sel2, tiled, 0.0)
+                att_scr[b : b + 1] = jax.lax.dot(
+                    ones_row, mt, preferred_element_type=jnp.float32
+                ).astype(att_scr.dtype)
 
-        @pl.when(j == n_wo - 1)
-        def _norm():
-            x1 = jnp.concatenate([x1_scr[c] for c in range(n_wo)], axis=1)
-            xn_scr[...] = rms_rows(x1, gm_ref[l])
-
-    @pl.when(in_layers & (j >= n_wo) & (j < n_wo + n_gu))
-    def _gu():
-        jg = j - n_wo
-        p = (jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
-             * s[None, :])
-
-        @pl.when(jg % 2 == 0)
-        def _gate():
-            g_scr[...] = p
-
-        @pl.when(jg % 2 == 1)
-        def _up():
-            g = g_scr[...]
-            h_scr[jg // 2] = (g * jax.nn.sigmoid(g) * p).astype(jnp.bfloat16)
-
-    @pl.when(in_layers & (j >= n_wo + n_gu) & (j <= last_down))
-    def _down():
-        jd = j - n_wo - n_gu
-        kk = jd // n_cols
-        nn = jd % n_cols
-        xk = (jnp.concatenate(
-            [h_scr[kk * cpb + c] for c in range(cpb)], axis=1)
-            if cpb > 1 else h_scr[kk * cpb])
-        p = (jax.lax.dot(xk, w, preferred_element_type=jnp.float32)
-             * s[None, :])
-
-        @pl.when(kk == 0)
-        def _first():
-            dn_scr[nn] = p
-
-        @pl.when(kk > 0)
-        def _rest():
-            dn_scr[nn] = dn_scr[nn] + p
-
-        @pl.when(jd == n_down - 1)
-        def _finish():
-            x1 = jnp.concatenate([x1_scr[c] for c in range(n_wo)], axis=1)
-            out = jnp.concatenate([dn_scr[c] for c in range(n_cols)], axis=1)
-            x_out = out + x1
-            xres_scr[...] = x_out
-
+            # Prefetch the NEXT layer's first KV blocks; await the RMW
+            # write-back so its semaphore is drained before reuse.
             @pl.when(l + 1 < L)
             def _():
-                xn_scr[...] = rms_rows(x_out, ga_ref[jnp.minimum(l + 1,
-                                                                 L - 1)])
+                prefetch_layer_kv(l + 1)
+            for b in range(batch):
+                st = rd_blk(b)
+                pltpu.make_async_copy(
+                    rowk[b], ko_ref.at[l, b, pl.ds(st, 8)], wrsem).wait()
+                pltpu.make_async_copy(
+                    rowv[b], vo_ref.at[l, b, pl.ds(st, 8)], wrsem).wait()
 
-    @pl.when(in_layers & (j > last_down))
-    def _qkv():
-        nn = j - last_down - 1
-        p = jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
-        qkv_scr[nn] = p * s[None, :]
+        # ---------------- layer tail over the weight stream ----------------
+        @pl.when(in_layers & (j < n_wo))
+        def _wo():
+            att = att_scr[...]
+            p = jax.lax.dot(att, w, preferred_element_type=jnp.float32)
+            xc = xres_scr[:, :bn]
+            for c in range(1, n_wo):
+                xc = jnp.where(j == c, xres_scr[:, c * bn : (c + 1) * bn], xc)
+            x1_scr[j] = p * s[None, :] + xc
 
-    # ---------------- lm_head ----------------
-    @pl.when(in_head & (ht == 0))
-    def _head_norm():
-        xn_scr[...] = rms_rows(xres_scr[...], gf_ref[0])
+            @pl.when(j == n_wo - 1)
+            def _norm():
+                x1 = jnp.concatenate([x1_scr[c] for c in range(n_wo)], axis=1)
+                xn_scr[...] = rms_rows(x1, gm_ref[l])
 
-    @pl.when(in_head)
-    def _head():
-        p = (jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
-             * s[None, :])
+        @pl.when(in_layers & (j >= n_wo) & (j < n_wo + n_gu))
+        def _gu():
+            jg = j - n_wo
+            p = (jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
+                 * s[None, :])
 
-        def lg_copy(step, slot):
-            return pltpu.make_async_copy(
-                lg_scr.at[slot],
-                log_hbm.at[:, pl.ds(step * bn, bn)],
-                lgsem.at[slot],
-            )
+            @pl.when(jg % 2 == 0)
+            def _gate():
+                g_scr[...] = p
 
-        slot = jax.lax.rem(ht, 2)
+            @pl.when(jg % 2 == 1)
+            def _up():
+                g = g_scr[...]
+                h_scr[jg // 2] = (g * jax.nn.sigmoid(g) * p).astype(jnp.bfloat16)
 
-        @pl.when(ht >= 2)
-        def _drain():
-            lg_copy(ht - 2, slot).wait()
+        @pl.when(in_layers & (j >= n_wo + n_gu) & (j <= last_down))
+        def _down():
+            jd = j - n_wo - n_gu
+            kk = jd // n_cols
+            nn = jd % n_cols
+            xk = (jnp.concatenate(
+                [h_scr[kk * cpb + c] for c in range(cpb)], axis=1)
+                if cpb > 1 else h_scr[kk * cpb])
+            p = (jax.lax.dot(xk, w, preferred_element_type=jnp.float32)
+                 * s[None, :])
 
-        lg_scr[slot] = p.astype(lg_scr.dtype)
-        lg_copy(ht, slot).start()
+            @pl.when(kk == 0)
+            def _first():
+                dn_scr[nn] = p
 
-        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + ht * bn
-        logits = jnp.where(col < vocab, p, -jnp.inf)
-        val = jnp.max(logits, axis=1, keepdims=True)
-        idx = (jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
-               + ht * bn)
-        better = val > bv_scr[...]  # strict: first occurrence wins ties
-        bv_scr[...] = jnp.where(better, val, bv_scr[...])
-        bi_scr[...] = jnp.where(better, idx, bi_scr[...])
+            @pl.when(kk > 0)
+            def _rest():
+                dn_scr[nn] = dn_scr[nn] + p
 
-        @pl.when(ht == n_head - 1)
-        def _emit():
-            tok_ref[...] = bi_scr[...]
-            lg_copy(ht, slot).wait()
-            if n_head >= 2:
-                lg_copy(ht - 1, 1 - slot).wait()
+            @pl.when(jd == n_down - 1)
+            def _finish():
+                x1 = jnp.concatenate([x1_scr[c] for c in range(n_wo)], axis=1)
+                out = jnp.concatenate([dn_scr[c] for c in range(n_cols)], axis=1)
+                x_out = out + x1
+                xres_scr[...] = x_out
+
+                @pl.when(l + 1 < L)
+                def _():
+                    xn_scr[...] = rms_rows(x_out, ga_ref[jnp.minimum(l + 1,
+                                                                     L - 1)])
+
+        @pl.when(in_layers & (j > last_down))
+        def _qkv():
+            nn = j - last_down - 1
+            p = jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
+            qkv_scr[nn] = p * s[None, :]
+
+        # ---------------- lm_head ----------------
+        @pl.when(in_head & (ht == 0))
+        def _head_norm():
+            xn_scr[...] = rms_rows(xres_scr[...], gf_ref[0])
+
+        @pl.when(in_head)
+        def _head():
+            p = (jax.lax.dot(xn_scr[...], w, preferred_element_type=jnp.float32)
+                 * s[None, :])
+
+            def lg_copy(step, slot):
+                return pltpu.make_async_copy(
+                    lg_scr.at[slot],
+                    log_hbm.at[:, pl.ds(step * bn, bn)],
+                    lgsem.at[slot],
+                )
+
+            slot = jax.lax.rem(ht, 2)
+
+            @pl.when(ht >= 2)
+            def _drain():
+                lg_copy(ht - 2, slot).wait()
+
+            lg_scr[slot] = p.astype(lg_scr.dtype)
+            lg_copy(ht, slot).start()
+
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + ht * bn
+            logits = jnp.where(col < vocab, p, -jnp.inf)
+            val = jnp.max(logits, axis=1, keepdims=True)
+            idx = (jnp.argmax(logits, axis=1).astype(jnp.int32)[:, None]
+                   + ht * bn)
+            better = val > bv_scr[...]  # strict: first occurrence wins ties
+            bv_scr[...] = jnp.where(better, val, bv_scr[...])
+            bi_scr[...] = jnp.where(better, idx, bi_scr[...])
+
+            @pl.when(ht == n_head - 1)
+            def _emit():
+                tok_ref[...] = bi_scr[...]
+                lg_copy(ht, slot).wait()
+                if n_head >= 2:
+                    lg_copy(ht - 1, 1 - slot).wait()
+
+
+    # ``tps`` tiles per grid step: per-step overhead (branch predicates,
+    # scalar coordinate math, pipeline handshakes) measured ~1 us/step at
+    # tps=1 — 2.44 us/tile against the 1.49 us/tile branch-free probe
+    # (benchmarks/r5_stream_probe.py). Amortize it across the group.
+    for i in range(tps):
+        process_tile(t * tps + i, _load_w(w_ref[i]), s_ref[i, 0])
 
 
 def giga_decode_step(
@@ -613,7 +623,8 @@ def giga_decode_step(
     k2 = k_pool.reshape(L, B, T, KD)
     v2 = v_pool.reshape(L, B, T, KD)
 
-    grid = (ntot,)
+    tps = 2 if ntot % 2 == 0 else 1  # tiles per grid step (kernel doc)
+    grid = (ntot // tps,)
     tok, logits, k_out, v_out = pl.pallas_call(
         functools.partial(
             _giga_kernel,
@@ -621,6 +632,7 @@ def giga_decode_step(
             n_qkv=pack.n_qkv, bn=bn, H=H, I=I, eps=pack.eps, batch=B,
             nkv=NKV, group=NH // NKV, hd=HD, T=T, bt=bt, L=L,
             n_head=pack.n_head, vocab=pack.vocab, sm_scale=sm_scale,
+            tps=tps,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -632,8 +644,8 @@ def giga_decode_step(
                 pl.BlockSpec((L, H), lambda t, *_: (0, 0)),
                 pl.BlockSpec((L, H), lambda t, *_: (0, 0)),
                 pl.BlockSpec((1, H), lambda t, *_: (0, 0)),
-                pl.BlockSpec((1, H, bn), lambda t, *_: (t, 0, 0)),
-                pl.BlockSpec((1, 1, bn), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tps, H, bn), lambda t, *_: (t, 0, 0)),
+                pl.BlockSpec((tps, 1, bn), lambda t, *_: (t, 0, 0)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],

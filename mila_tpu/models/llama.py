@@ -421,15 +421,31 @@ def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
     All-or-nothing: falls back to the per-layer streams when shapes don't
     fit."""
     from mila_tpu.inference.quantize import QTensor
+    from mila_tpu.inference.requant import requantize_int8
     from mila_tpu.kernels.decode_giga import pack_giga
 
     def get_qt(blk, name):
         w = blk.get(name, {}).get("weight") if isinstance(blk, dict) else None
-        return w if isinstance(w, QTensor) else None
+        if not isinstance(w, QTensor):
+            return None
+        # FP8 weights are re-expressed on an int8 grid for the decode
+        # stream: same bytes/step, none of the in-kernel bit-decode VPU
+        # cost (inference/requant.py — the r4 fp8-regression fix). INT4
+        # weights are nibble-unpacked to int8 rows: the in-kernel unpack is
+        # VPU-bound (~3 us/tile vs int8's 1.49 measured stream slack,
+        # benchmarks/r5_stream_probe.py), so int4 keeps its 2x HBM-capacity
+        # saving at rest and decodes through an int8-width stream. The
+        # original QTensors stay in the pytree for prefill.
+        from mila_tpu.inference.quantize import unpack_int4
+
+        return requantize_int8(unpack_int4(w))
+
+    from mila_tpu.inference.quantize import unpack_int4
 
     head = params.get("lm_head_q")
     if not isinstance(head, QTensor):
         return params
+    head = requantize_int8(unpack_int4(head))
     layer_names = sorted(
         (n for n in params if n.startswith("h") and n[1:].isdigit()),
         key=lambda n: int(n[1:]),
