@@ -67,9 +67,9 @@ def run_case(name, dims, B, T, live, dtype, do_time, skip_numerics=False):
 
     def pools(seed):
         return (jax.random.normal(jax.random.fold_in(key, 100 + seed),
-                                  (L, B, T, NKV, HD), jnp.bfloat16),
+                                  (L, B, T, KD), jnp.bfloat16),
                 jax.random.normal(jax.random.fold_in(key, 200 + seed),
-                                  (L, B, T, NKV, HD), jnp.bfloat16))
+                                  (L, B, T, KD), jnp.bfloat16))
 
     kp, vp = pools(0)
     if not skip_numerics:

@@ -587,7 +587,11 @@ def giga_decode_step(
     sin_t: jax.Array,  # [B, KD] pre-signed tiled sin
     old_lens: jax.Array,  # [B] int32: live cache rows per sequence
     pack: GigaPack,
-    k_pool: jax.Array,  # [L, B, T, NKV, HD] stacked cache (donated)
+    k_pool: jax.Array,  # [L, B, T, NKV*HD] stacked cache (donated; kept
+    #                     4-D end-to-end — a 5-D carried pool gets a
+    #                     different XLA layout and the loop-body reshape
+    #                     becomes FOUR 134MB layout-conversion copies per
+    #                     step, ~656 us: benchmarks/r5_branch_probe.py)
     v_pool: jax.Array,
     *,
     scale: Optional[float] = None,
@@ -599,14 +603,15 @@ def giga_decode_step(
     """One full decode step. Returns (token [B,1] i32 greedy argmax,
     logits [B, VPAD] bf16, k_pool', v_pool') — pools updated in place at
     row old_lens[b] of every layer."""
-    L, B, T, NKV, HD = k_pool.shape
+    L, B, T, KD = k_pool.shape
+    NKV, HD = pack.nkv, pack.hd
     H, I, bn = pack.h_dim, pack.i_dim, pack.bn
     NH = pack.nh
-    KD = NKV * HD
+    assert KD == NKV * HD, (k_pool.shape, NKV, HD)
     sm_scale = 1.0 / math.sqrt(HD) if scale is None else scale
     if T % 8:
         raise ValueError(f"giga_decode_step needs T % 8 == 0 (got {T})")
-    assert pack.nkv == NKV and pack.hd == HD and pack.n_layers == L
+    assert pack.n_layers == L
 
     interp = _interpret_default() if interpret is None else interpret
     if interp and not pallas_interpret:
@@ -620,8 +625,7 @@ def giga_decode_step(
     head_base = pack.n_qkv + L * tpl - pack.n_qkv
     ntot = head_base + pack.n_head
     assert pack.w.shape[0] == ntot, (pack.w.shape, ntot)
-    k2 = k_pool.reshape(L, B, T, KD)
-    v2 = v_pool.reshape(L, B, T, KD)
+    k2, v2 = k_pool, v_pool
 
     tps = 2 if ntot % 2 == 0 else 1  # tiles per grid step (kernel doc)
     grid = (ntot // tps,)
@@ -704,8 +708,7 @@ def giga_decode_step(
         sin_t.astype(jnp.float32), pack.ga, pack.gm, pack.gf,
         pack.w, pack.s, k2, v2,
     )
-    return (tok, logits, k_out.reshape(L, B, T, NKV, HD),
-            v_out.reshape(L, B, T, NKV, HD))
+    return tok, logits, k_out, v_out
 
 
 def _giga_ref(x, cos_t, sin_t, old_lens, pack: GigaPack, k_pool, v_pool,
@@ -717,10 +720,10 @@ def _giga_ref(x, cos_t, sin_t, old_lens, pack: GigaPack, k_pool, v_pool,
     )
     from mila_tpu.ops.attention import decode_attention
 
-    L, B, T, NKV, HD = k_pool.shape
+    L, B, T, KD = k_pool.shape
+    NKV, HD = pack.nkv, pack.hd
     H, bn = pack.h_dim, pack.bn
     NH = pack.nh
-    KD = NKV * HD
     NQ = NH * HD
     tpl = pack.n_wo + pack.n_gu + pack.n_down + pack.n_qkv
     eps = pack.eps
@@ -768,16 +771,17 @@ def _giga_ref(x, cos_t, sin_t, old_lens, pack: GigaPack, k_pool, v_pool,
         v_new = qkv[:, NQ + KD :]
 
         rows = jnp.arange(B)
-        kc = k_pool[l].reshape(B, T, KD)
-        vc = v_pool[l].reshape(B, T, KD)
+        kc = k_pool[l]
+        vc = v_pool[l]
         kc = kc.at[rows, old_lens].set(k_new.astype(kc.dtype))
         vc = vc.at[rows, old_lens].set(v_new.astype(vc.dtype))
-        kc_all.append(kc.reshape(B, T, NKV, HD))
-        vc_all.append(vc.reshape(B, T, NKV, HD))
+        kc_all.append(kc)
+        vc_all.append(vc)
 
         q_h = q_r[:, jnp.asarray(inv)]
         att = decode_attention(
-            q_h[:, None], kc_all[l], vc_all[l], old_lens + 1,
+            q_h[:, None], kc.reshape(B, T, NKV, HD),
+            vc.reshape(B, T, NKV, HD), old_lens + 1,
             scale=sm_scale)[:, 0]
         att_slot = att[:, jnp.asarray(slots)].reshape(B, NQ)
 

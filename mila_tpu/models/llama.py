@@ -594,17 +594,25 @@ class Llama(CompositeModule):
     # --- whole-model single-kernel decode (kernels/decode_giga.py) ---
 
     def stack_kv_cache(self, cache: dict):
-        """Per-layer dict cache -> stacked (k_pool, v_pool) [L, B, T, NKV,
-        HD] for the giga decode step (one-time copy after prefill)."""
+        """Per-layer dict cache -> stacked (k_pool, v_pool) [L, B, T,
+        NKV*HD] for the giga decode step (one-time copy after prefill).
+        Kept 4-D: a 5-D carried pool picks up a different XLA layout and
+        every in-loop reshape becomes a 134MB layout-conversion copy."""
         cfg: LlamaConfig = self.config
-        k = jnp.stack([cache[f"h{i}"]["k"] for i in range(cfg.num_layers)])
-        v = jnp.stack([cache[f"h{i}"]["v"] for i in range(cfg.num_layers)])
-        return k, v
+        L = cfg.num_layers
+        k = jnp.stack([cache[f"h{i}"]["k"] for i in range(L)])
+        v = jnp.stack([cache[f"h{i}"]["v"] for i in range(L)])
+        _, B, T, NKV, HD = k.shape
+        return (k.reshape(L, B, T, NKV * HD), v.reshape(L, B, T, NKV * HD))
 
     def unstack_kv_cache(self, k_pool, v_pool) -> dict:
+        cfg: LlamaConfig = self.config
+        L, B, T, KD = k_pool.shape
+        NKV, HD = cfg.num_kv_heads, cfg.hd
         return {
-            f"h{i}": {"k": k_pool[i], "v": v_pool[i]}
-            for i in range(self.config.num_layers)
+            f"h{i}": {"k": k_pool[i].reshape(B, T, NKV, HD),
+                      "v": v_pool[i].reshape(B, T, NKV, HD)}
+            for i in range(L)
         }
 
     def _giga_tables(self, lens):

@@ -80,8 +80,8 @@ def test_giga_ref_runs_and_updates_cache():
     lens = jnp.array([5, 17], jnp.int32)
     cos_t = jnp.ones((B, KD), jnp.float32)
     sin_t = jnp.zeros((B, KD), jnp.float32)
-    kp = jnp.zeros((L, B, T, NKV, HD), jnp.bfloat16)
-    vp = jnp.zeros((L, B, T, NKV, HD), jnp.bfloat16)
+    kp = jnp.zeros((L, B, T, KD), jnp.bfloat16)
+    vp = jnp.zeros((L, B, T, KD), jnp.bfloat16)
     tok, logits, kp2, vp2 = giga_decode_step(x, cos_t, sin_t, lens, pack,
                                              kp, vp, interpret=True)
     assert tok.shape == (B, 1) and tok.dtype == jnp.int32
@@ -91,6 +91,7 @@ def test_giga_ref_runs_and_updates_cache():
     for b, ln in enumerate([5, 17]):
         assert float(jnp.abs(kp2[0, b, ln]).sum()) > 0
         assert float(jnp.abs(kp2[0, b, ln + 1]).sum()) == 0
+    assert kp2.shape == (L, B, T, KD)
 
 
 def test_model_giga_step_matches_fallback():
