@@ -75,6 +75,8 @@ class GigaPack(NamedTuple):
     ga: jax.Array  # [L, H] f32 ln_attn gammas
     gm: jax.Array  # [L, H] f32 ln_mlp gammas
     gf: jax.Array  # [1, H] f32 final-norm gamma
+    freq: Optional[jax.Array]  # [1, KD] f32 tiled rope freqs (token entry)
+    sign: Optional[jax.Array]  # [1, KD] f32 pre-signed sin pattern
     h_dim: int
     i_dim: int
     bn: int
@@ -93,7 +95,7 @@ class GigaPack(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     GigaPack,
-    lambda t: ((t.w, t.s, t.ga, t.gm, t.gf), tuple(t[5:])),
+    lambda t: ((t.w, t.s, t.ga, t.gm, t.gf, t.freq, t.sign), tuple(t[7:])),
     lambda aux, leaves: GigaPack(*leaves, *aux),
 )
 
@@ -121,6 +123,7 @@ def pack_giga(
     vocab: int,
     eps: float = 1e-5,
     bn: int = 512,
+    rope_inv_freq=None,  # [hd//2] f32: enables the tokens-in entry
 ) -> Optional[GigaPack]:
     """Build the whole-model stream. Returns None when shapes don't fit
     (callers keep the per-layer paths)."""
@@ -164,11 +167,23 @@ def pack_giga(
         [jnp.stack(qkv0_scales)[:, None, :]] + [p.s for p in packs]
         + [jnp.stack(head_scales)[:, None, :]]
     )
+    freq = sign = None
+    if rope_inv_freq is not None:
+        # Full-width tiled rope rows for the in-kernel tables: lane k of
+        # the [1, KD] row carries inv_freq[(k % hd) % (hd//2)]; the sign
+        # row is the pre-signed [-sin | sin] split-half pattern.
+        d2 = hd // 2
+        inv = np.asarray(rope_inv_freq, np.float32).reshape(d2)
+        kidx = np.arange(kd)
+        freq = jnp.asarray(inv[(kidx % hd) % d2][None, :], jnp.float32)
+        sign = jnp.asarray(
+            np.where((kidx % hd) < d2, -1.0, 1.0)[None, :], jnp.float32)
     return GigaPack(
         w=w, s=s,
         ga=jnp.asarray(ga, jnp.float32).reshape(L, H),
         gm=jnp.asarray(gm, jnp.float32).reshape(L, H),
         gf=jnp.asarray(gf, jnp.float32).reshape(1, H),
+        freq=freq, sign=sign,
         h_dim=H, i_dim=first.i_dim, bn=bn,
         n_wo=first.n_wo, n_gu=first.n_gu, n_down=first.n_down,
         n_qkv=first.n_qkv, n_layers=L,
@@ -179,9 +194,11 @@ def pack_giga(
 
 def _giga_kernel(
     lens_ref,  # SMEM [B] int32: OLD cache rows per sequence
-    x_ref,  # [B, H] VMEM embedded-token row
-    cos_ref,  # [B, KD] f32 full-width tiled
-    sin_ref,  # [B, KD] f32 pre-signed
+    tid_ref,  # SMEM [B] int32 current token ids (embed_rope mode; zeros
+    #           in the x-input mode)
+    x_ref,  # [B, H] VMEM embedded-token row | [V, H] ANY wte (embed_rope)
+    cos_ref,  # [B, KD] f32 tiled cos | [1, KD] freq row (embed_rope)
+    sin_ref,  # [B, KD] f32 pre-signed | [1, KD] sign row (embed_rope)
     ga_ref,  # [L, H] f32
     gm_ref,  # [L, H] f32
     gf_ref,  # [1, H] f32
@@ -216,7 +233,11 @@ def _giga_kernel(
     acc_scr,  # [B, NH, KD] f32
     bv_scr,  # [B, 1] f32 running argmax value
     bi_scr,  # [B, 1] i32
-    *rowbufs,  # 2*B x [8, KD] RMW row buffers
+    x_scr,  # [B, H] bf16 (embed_rope: embedded rows land here)
+    cos_scr,  # [B, KD] f32 (embed_rope: in-kernel rope tables)
+    sin_scr,
+    embsem,  # DMA (embed row fetches)
+    *rowbufs,  # 2*B x [8, KD] RMW row buffers, then B x [8, H] embed rows
     n_wo: int,
     n_gu: int,
     n_down: int,
@@ -236,9 +257,14 @@ def _giga_kernel(
     vocab: int,
     sm_scale: float,
     tps: int,
+    embed_rope: bool,
 ):
     rowk = rowbufs[:batch]
     rowv = rowbufs[batch : 2 * batch]
+    embrow = rowbufs[2 * batch :]
+    X = x_scr if embed_rope else x_ref
+    COS = cos_scr if embed_rope else cos_ref
+    SIN = sin_scr if embed_rope else sin_ref
     nh = nkv * group
     kd = nkv * hd
     nq = nh * hd
@@ -297,7 +323,32 @@ def _giga_kernel(
     # ---------------- t == 0: prologue ----------------
     @pl.when(t == 0)
     def _prologue():
-        xf = x_ref[...].astype(jnp.float32)
+        if embed_rope:
+            # Embedding lookup in-kernel: 8-row-aligned wte block DMAs
+            # (arbitrary token rows aren't DMA-alignable), row-selected on
+            # the VPU. Plus the rope tables from lens x the tiled freq
+            # row — the decode step has NO per-step XLA glue left.
+            for b in range(batch):
+                st = (tid_ref[b] // 8) * 8
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(st, 8)], embrow[b], embsem).start()
+            for b in range(batch):
+                ang = (lens_ref[b].astype(jnp.float32)
+                       * cos_ref[0][None, :])
+                cos_scr[b : b + 1] = jnp.cos(ang)
+                sin_scr[b : b + 1] = sin_ref[0][None, :] * jnp.sin(ang)
+            rowid8 = jax.lax.broadcasted_iota(jnp.int32, (8, H), 0)
+            for b in range(batch):
+                st = (tid_ref[b] // 8) * 8
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(st, 8)], embrow[b], embsem).wait()
+                r = tid_ref[b] - st
+                row = jnp.sum(
+                    jnp.where(rowid8 == r,
+                              embrow[b][...].astype(jnp.float32), 0.0),
+                    axis=0, keepdims=True)
+                x_scr[b : b + 1] = row.astype(x_scr.dtype)
+        xf = X[...].astype(jnp.float32)
         xres_scr[...] = xf
         xn_scr[...] = rms_rows(xf, ga_ref[0])
         bv_scr[...] = jnp.full(bv_scr.shape, -jnp.inf, jnp.float32)
@@ -339,7 +390,7 @@ def _giga_kernel(
             q_rows = jnp.concatenate(
                 [qkv_scr[c] for c in range(n_qkv - 2)], axis=1
             )  # [B, NQ] f32
-            kn = rope(qkv_scr[n_qkv - 2], cos_ref[...], sin_ref[...])  # [B, KD]
+            kn = rope(qkv_scr[n_qkv - 2], COS[...], SIN[...])  # [B, KD]
             vn = qkv_scr[n_qkv - 1]
 
             # Lane-packed queries via the MXU unpack (layer_mega module doc).
@@ -358,7 +409,7 @@ def _giga_kernel(
                     part = m[:, c * kd : (c + 1) * kd]
                     packed = part if packed is None else packed + part
                 q_pk.append(
-                    rope(packed, cos_ref[b][None, :], sin_ref[b][None, :])
+                    rope(packed, COS[b][None, :], SIN[b][None, :])
                     .astype(jnp.bfloat16))
 
             # RMW insert of the new row (write-back overlaps the block loop).
@@ -599,10 +650,14 @@ def giga_decode_step(
     interpret: Optional[bool] = None,
     pallas_interpret: bool = False,  # debug: run the REAL kernel body under
     #                                  the pallas CPU emulator
+    tokens: Optional[jax.Array] = None,  # [B] int32: embed_rope mode — x
+    #           is then the full wte [V, H] and cos_t/sin_t are ignored
+    #           (the kernel embeds + builds rope tables itself)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One full decode step. Returns (token [B,1] i32 greedy argmax,
     logits [B, VPAD] bf16, k_pool', v_pool') — pools updated in place at
     row old_lens[b] of every layer."""
+    embed_rope = tokens is not None
     L, B, T, KD = k_pool.shape
     NKV, HD = pack.nkv, pack.hd
     H, I, bn = pack.h_dim, pack.i_dim, pack.bn
@@ -613,8 +668,19 @@ def giga_decode_step(
         raise ValueError(f"giga_decode_step needs T % 8 == 0 (got {T})")
     assert pack.n_layers == L
 
+    if embed_rope:
+        assert pack.freq is not None, "pack_giga needs rope_inv_freq"
+        assert x.shape[0] % 8 == 0, "wte vocab rows must be 8-aligned"
+
     interp = _interpret_default() if interpret is None else interpret
     if interp and not pallas_interpret:
+        if embed_rope:
+            xe = jnp.take(x, tokens.reshape(-1), axis=0).astype(jnp.bfloat16)
+            ang = old_lens[:, None].astype(jnp.float32) * pack.freq
+            cos_t = jnp.cos(ang)
+            sin_t = pack.sign * jnp.sin(ang)
+            return _giga_ref(xe, cos_t, sin_t, old_lens, pack, k_pool,
+                             v_pool, sm_scale=sm_scale)
         return _giga_ref(x, cos_t, sin_t, old_lens, pack, k_pool, v_pool,
                          sm_scale=sm_scale)
 
@@ -629,6 +695,23 @@ def giga_decode_step(
 
     tps = 2 if ntot % 2 == 0 else 1  # tiles per grid step (kernel doc)
     grid = (ntot // tps,)
+    if not embed_rope:
+        tokens = jnp.zeros((B,), jnp.int32)
+        x_in = x
+        cs_spec = pl.BlockSpec((B, KD), lambda t, *_: (0, 0))
+        x_spec = pl.BlockSpec((B, H), lambda t, *_: (0, 0))
+        cos_in = cos_t.astype(jnp.float32)
+        sin_in = sin_t.astype(jnp.float32)
+        emb_dtype = jnp.bfloat16
+    else:
+        # embed_rope mode: x is the full wte [V, H] (ANY space), cos/sin
+        # are the [1, KD] tiled freq/sign rows from the pack.
+        x_in = x
+        x_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        cs_spec = pl.BlockSpec((1, KD), lambda t, *_: (0, 0))
+        cos_in = pack.freq
+        sin_in = pack.sign
+        emb_dtype = x.dtype
     tok, logits, k_out, v_out = pl.pallas_call(
         functools.partial(
             _giga_kernel,
@@ -636,15 +719,15 @@ def giga_decode_step(
             n_qkv=pack.n_qkv, bn=bn, H=H, I=I, eps=pack.eps, batch=B,
             nkv=NKV, group=NH // NKV, hd=HD, T=T, bt=bt, L=L,
             n_head=pack.n_head, vocab=pack.vocab, sm_scale=sm_scale,
-            tps=tps,
+            tps=tps, embed_rope=embed_rope,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((B, H), lambda t, *_: (0, 0)),
-                pl.BlockSpec((B, KD), lambda t, *_: (0, 0)),
-                pl.BlockSpec((B, KD), lambda t, *_: (0, 0)),
+                x_spec,
+                cs_spec,
+                cs_spec,
                 pl.BlockSpec((L, H), lambda t, *_: (0, 0)),
                 pl.BlockSpec((L, H), lambda t, *_: (0, 0)),
                 pl.BlockSpec((1, H), lambda t, *_: (0, 0)),
@@ -680,7 +763,12 @@ def giga_decode_step(
                 pltpu.VMEM((B, NH, KD), jnp.float32),
                 pltpu.VMEM((B, 1), jnp.float32),
                 pltpu.VMEM((B, 1), jnp.int32),
+                pltpu.VMEM((B, H), jnp.bfloat16),
+                pltpu.VMEM((B, KD), jnp.float32),
+                pltpu.VMEM((B, KD), jnp.float32),
+                pltpu.SemaphoreType.DMA,
                 *[pltpu.VMEM((8, KD), k_pool.dtype) for _ in range(2 * B)],
+                *[pltpu.VMEM((8, H), emb_dtype) for _ in range(B)],
             ],
         ),
         out_shape=(
@@ -689,8 +777,8 @@ def giga_decode_step(
             jax.ShapeDtypeStruct((L, B, T, KD), k_pool.dtype),
             jax.ShapeDtypeStruct((L, B, T, KD), v_pool.dtype),
         ),
-        # args: [lens, x, cos, sin, ga, gm, gf, w, s, k2, v2]
-        input_output_aliases={9: 2, 10: 3},
+        # args: [lens, tok, x, cos, sin, ga, gm, gf, w, s, k2, v2]
+        input_output_aliases={10: 2, 11: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -704,8 +792,8 @@ def giga_decode_step(
         ),
         interpret=pallas_interpret,
     )(
-        old_lens.astype(jnp.int32), x, cos_t.astype(jnp.float32),
-        sin_t.astype(jnp.float32), pack.ga, pack.gm, pack.gf,
+        old_lens.astype(jnp.int32), tokens.astype(jnp.int32).reshape(B),
+        x_in, cos_in, sin_in, pack.ga, pack.gm, pack.gf,
         pack.w, pack.s, k2, v2,
     )
     return tok, logits, k_out, v_out

@@ -460,11 +460,15 @@ def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
         weights.append((wo, wgu, down, wqkv))
         ga.append(jnp.asarray(blk["ln_attn"]["gamma"], jnp.float32))
         gm.append(jnp.asarray(blk["ln_mlp"]["gamma"], jnp.float32))
+    from mila_tpu.ops.rope import rope_frequencies
+
     pack = pack_giga(
         weights, head, jnp.stack(ga), jnp.stack(gm),
         jnp.asarray(params["norm_f"]["gamma"], jnp.float32),
         nh=cfg.num_heads, nkv=cfg.num_kv_heads, hd=cfg.hd,
         vocab=cfg.vocab_size, eps=cfg.rms_eps, bn=bn,
+        rope_inv_freq=rope_frequencies(cfg.hd, cfg.rope_theta,
+                                       cfg.rope_scaling),
     )
     if pack is None:
         return params
@@ -629,20 +633,20 @@ class Llama(CompositeModule):
         return cos_t, sin_t
 
     def giga_step(self, params, tokens, k_pool, v_pool, lens):
-        """One whole-model decode step in ONE Pallas kernel: embed lookup
-        outside, then [all layers' attention + cache RMW + tails + lm_head
-        argmax] inside (kernels/decode_giga.py). ``lens`` [B] int32 = live
-        cache rows per sequence (current token excluded). Returns
-        (next_token [B,1] i32, logits [B, vocab], k_pool', v_pool') with the
-        pools updated in place — donate them."""
+        """One whole-model decode step in ONE Pallas kernel: [embed lookup
+        + rope tables + all layers' attention + cache RMW + tails + lm_head
+        argmax] — the step has NO per-step XLA glue (kernels/
+        decode_giga.py). ``lens`` [B] int32 = live cache rows per sequence
+        (current token excluded). Returns (next_token [B,1] i32, logits
+        [B, vocab], k_pool', v_pool') with the pools updated in place —
+        donate them."""
         from mila_tpu.kernels.decode_giga import giga_decode_step
 
         cfg: LlamaConfig = self.config
-        x = jnp.take(params["embed"]["wte"], tokens.reshape(-1), axis=0)
-        cos_t, sin_t = self._giga_tables(lens)
         tok, logits, k_pool, v_pool = giga_decode_step(
-            x.astype(jnp.bfloat16), cos_t, sin_t, lens,
+            params["embed"]["wte"], None, None, lens,
             params["giga_pack"], k_pool, v_pool,
+            tokens=tokens.reshape(-1),
         )
         return tok, logits[:, : cfg.vocab_size], k_pool, v_pool
 
