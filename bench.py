@@ -127,7 +127,10 @@ def bench_llama_decode(dtypes=("int8", "bf16", "fp8", "int4")) -> dict:
     for dt in dtypes:
         try:
             if dt == "bf16":
-                detail["bf16"] = bench_decode(model, params, cfg, batch=8,
+                # bf16 rides the giga stream too: plain bf16 tiles with
+                # unit scales, head = padded tied wte^T.
+                bparams = pack_decode_giga(params, cfg)
+                detail["bf16"] = bench_decode(model, bparams, cfg, batch=8,
                                               prompt_len=128)
             else:
                 qdt = "fp8_e4m3" if dt == "fp8" else dt
@@ -551,9 +554,9 @@ def kernel_check() -> dict:
         cos_g = jnp.tile(jnp.concatenate([c2g, c2g], -1), (1, NKVg))
         sin_g = jnp.tile(jnp.concatenate([-s2g, s2g], -1), (1, NKVg))
         kp = jax.random.normal(jax.random.fold_in(kg, 1),
-                               (2, Bg, Tg, NKVg, HDg), jnp.bfloat16)
+                               (2, Bg, Tg, KDg), jnp.bfloat16)
         vp = jax.random.normal(jax.random.fold_in(kg, 2),
-                               (2, Bg, Tg, NKVg, HDg), jnp.bfloat16)
+                               (2, Bg, Tg, KDg), jnp.bfloat16)
         got = giga_decode_step(xg, cos_g, sin_g, lens_g, pack, kp, vp,
                                interpret=False)
         want = giga_decode_step(xg, cos_g, sin_g, lens_g, pack, kp, vp,
@@ -566,6 +569,17 @@ def kernel_check() -> dict:
         agree = float((got[0] == want[0]).sum())
         results["giga_token_agreement"] = {
             "pass": bool(agree >= 7), "max_abs_err": 8 - agree}
+        # token-mode entry (in-kernel embed + rope): the production path
+        wte = jax.random.normal(jax.random.fold_in(kg, 9), (4096, 2048),
+                                jnp.bfloat16) * 0.02
+        toks = jnp.array([1, 7, 8, 4095, 100, 2048, 33, 500], jnp.int32)
+        got_t = giga_decode_step(wte, None, None, lens_g, pack, kp, vp,
+                                 tokens=toks, interpret=False)
+        want_t = giga_decode_step(wte, None, None, lens_g, pack, kp, vp,
+                                  tokens=toks, interpret=True)
+        check("giga_tokens_logits", got_t[1], want_t[1], rtol=5e-2,
+              atol=5e-2)
+        check("giga_tokens_kc", got_t[2], want_t[2], rtol=5e-2, atol=5e-2)
 
     for name, fn in (
         ("quant_matmul", sec_quant_matmul),

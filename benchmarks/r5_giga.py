@@ -41,8 +41,11 @@ def build(dtype, *, L, H, I, NH, NKV, HD, VPAD, vocab):
     ga = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 90), (L, H))
     gm = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 91), (L, H))
     gf = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 92), (H,))
+    from mila_tpu.ops.rope import rope_frequencies
+
     pack = pack_giga(layers, head, ga, gm, gf, nh=NH, nkv=NKV, hd=HD,
-                     vocab=vocab)
+                     vocab=vocab,
+                     rope_inv_freq=rope_frequencies(HD, 500000.0, None))
     assert pack is not None
     return pack
 

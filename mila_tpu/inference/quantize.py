@@ -98,6 +98,18 @@ def quantize(
     return QTensor(q.reshape(In, Out), scale, bs)
 
 
+def unit_qtensor(w) -> QTensor:
+    """Wrap a plain (bf16) weight matrix as a QTensor with unit scales:
+    lets the decode weight-stream packers (layer_fused/decode_giga) carry
+    bf16 tiles through the same machinery, scale multiply folding to a
+    no-op."""
+    import jax.numpy as _jnp
+
+    w = _jnp.asarray(w, _jnp.bfloat16)
+    K, N = w.shape
+    return QTensor(w, _jnp.ones((1, N), _jnp.float32), K, 0)
+
+
 def pack_int4(qt: QTensor) -> QTensor:
     """Nibble-pack an int4 QTensor: two signed 4-bit values per byte.
 

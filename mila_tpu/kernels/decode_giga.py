@@ -693,7 +693,9 @@ def giga_decode_step(
     assert pack.w.shape[0] == ntot, (pack.w.shape, ntot)
     k2, v2 = k_pool, v_pool
 
-    tps = 2 if ntot % 2 == 0 else 1  # tiles per grid step (kernel doc)
+    # Tiles per grid step (kernel doc): 2 for 1-byte tiles; bf16 tiles are
+    # 2MB each, so tps=1 keeps the double-buffered stream inside VMEM.
+    tps = 2 if (ntot % 2 == 0 and pack.w.dtype.itemsize == 1) else 1
     grid = (ntot // tps,)
     if not embed_rope:
         tokens = jnp.zeros((B,), jnp.int32)

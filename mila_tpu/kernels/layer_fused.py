@@ -91,7 +91,10 @@ def pack_layer(
     if H % bn or I % bn or I % H:
         return None
     dt = wo.q.dtype
-    if any(q.q.dtype != dt for q in qts) or jnp.dtype(dt).itemsize != 1:
+    # 1-byte quantized tiles (int8/fp8) or plain bf16 tiles with unit
+    # scales (the bf16 giga stream) — anything else doesn't pack.
+    ok_dt = jnp.dtype(dt).itemsize == 1 or jnp.dtype(dt) == jnp.bfloat16
+    if any(q.q.dtype != dt for q in qts) or not ok_dt:
         return None
     bk = H
     for q in qts:

@@ -426,6 +426,10 @@ def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
 
     def get_qt(blk, name):
         w = blk.get(name, {}).get("weight") if isinstance(blk, dict) else None
+        if bf16_mode:
+            if isinstance(w, QTensor) or w is None or w.ndim != 2:
+                return None
+            return unit_qtensor(w)
         if not isinstance(w, QTensor):
             return None
         # FP8 weights are re-expressed on an int8 grid for the decode
@@ -440,12 +444,22 @@ def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
 
         return requantize_int8(unpack_int4(w))
 
-    from mila_tpu.inference.quantize import unpack_int4
+    from mila_tpu.inference.quantize import unit_qtensor, unpack_int4
 
+    bf16_mode = False
     head = params.get("lm_head_q")
-    if not isinstance(head, QTensor):
-        return params
-    head = requantize_int8(unpack_int4(head))
+    if isinstance(head, QTensor):
+        head = requantize_int8(unpack_int4(head))
+    else:
+        # Unquantized (bf16) model: the giga stream carries plain bf16
+        # tiles with unit scales; the head is the padded tied wte^T.
+        bf16_mode = True
+        wt = jnp.asarray(params["embed"]["wte"]).T
+        V = wt.shape[1]
+        vpad = -(-V // bn) * bn
+        if vpad != V:
+            wt = jnp.pad(wt, ((0, 0), (0, vpad - V)))
+        head = unit_qtensor(wt)
     layer_names = sorted(
         (n for n in params if n.startswith("h") and n[1:].isdigit()),
         key=lambda n: int(n[1:]),
