@@ -130,6 +130,9 @@ def _run(args):
             "ttft_p50_ms": round(ttfts[len(ttfts) // 2] * 1e3, 1),
             "ttft_p95_ms": round(ttfts[int(len(ttfts) * 0.95)] * 1e3, 1),
             "prefills": engine.stats["prefills"],
+            "prefill_groups": engine.stats.get("prefill_groups", 0),
+            "t_prefill_s": round(engine.stats.get("t_prefill_s", 0.0), 2),
+            "t_decode_s": round(engine.stats.get("t_decode_s", 0.0), 2),
             "decode_steps": engine.stats["steps"],
             "kv_layout": engine.kv_layout,
             "kv_dtype": args.kv_dtype,

@@ -31,8 +31,12 @@ def build(dtype, *, L, H, I, NH, NKV, HD, VPAD, vocab):
     key = jax.random.key(0)
 
     def q(k, shape):
-        return quantize(jax.random.normal(jax.random.fold_in(key, k), shape)
-                        * 0.02, dtype)
+        w = jax.random.normal(jax.random.fold_in(key, k), shape) * 0.02
+        if dtype == "bf16":
+            from mila_tpu.inference.quantize import unit_qtensor
+
+            return unit_qtensor(w)
+        return quantize(w, dtype)
 
     layers = [(q(10 * i, (NQ, H)), q(10 * i + 1, (H, 2 * I)),
                q(10 * i + 2, (I, H)), q(10 * i + 3, (H, NQ + 2 * KD)))

@@ -244,12 +244,26 @@ class InferenceEngine:
         key = ("paged", bucket)
         if key not in self._prefill_fns:
             model = self.model
+            V = model.config.vocab_size
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def prefill(params, pools, tokens, table, true_len):
-                return model.forward_paged_prefill(
+            def prefill(params, pools, tokens, table, true_len, skey,
+                        greedy_mask, temps):
+                logits, pools = model.forward_paged_prefill(
                     params, tokens, pools, table, true_len
                 )
+                # Sample ON DEVICE (temperature/greedy — the same surface
+                # the chunked decode supports): the caller fetches [B]
+                # int32 tokens instead of a [B, V] f32 logits block (~4MB
+                # at Llama vocab — dominated remote-TPU prefill wall time).
+                # top-k/top-p requests lazily fetch `logits` and resample.
+                lg = logits[:, :V].astype(jnp.float32)
+                greedy_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                scaled = lg / jnp.maximum(temps[:, None], 1e-6)
+                sampled = jax.random.categorical(skey, scaled, axis=-1)
+                tok = jnp.where(greedy_mask, greedy_tok,
+                                sampled.astype(jnp.int32))
+                return tok, logits, pools
 
             self._prefill_fns[key] = prefill
         return self._prefill_fns[key]
@@ -548,12 +562,23 @@ class InferenceEngine:
             table[req.slot] = self.alloc.table[req.slot]
             true_len[req.slot] = T0
         prefill = self._get_paged_prefill_fn(bucket)
-        logits, self.pools = prefill(
+        greedy_mask = np.zeros((c.max_batch,), bool)
+        temps = np.ones((c.max_batch,), np.float32)
+        for req in reqs:
+            s = req.sampling
+            greedy_mask[req.slot] = s.greedy or s.temperature == 0.0
+            temps[req.slot] = max(s.temperature, 1e-6)
+        self._rng, skey = jax.random.split(self._rng)
+        t0 = time.monotonic()
+        toks_dev, logits, self.pools = prefill(
             self.params,
             self.pools,
             jnp.asarray(tokens),
             jnp.asarray(table),
             jnp.asarray(true_len),
+            skey,
+            jnp.asarray(greedy_mask),
+            jnp.asarray(temps),
         )
         if self.spec_k:
             # The draft model mirrors the prompts in its contiguous cache:
@@ -566,13 +591,26 @@ class InferenceEngine:
                 c.draft_params, self.draft_cache,
                 jnp.asarray(tokens), jnp.asarray(mask),
             )
-        logits = np.asarray(logits)  # [max_batch, V] — one fetch per group
+        toks = np.asarray(toks_dev)  # [max_batch] — the single small fetch
+        self.stats["t_prefill_s"] = (self.stats.get("t_prefill_s", 0.0)
+                                     + time.monotonic() - t0)
+        self.stats["prefill_groups"] = self.stats.get("prefill_groups", 0) + 1
         V = self.model.config.vocab_size
+        logits_np = None
         for req in reqs:
             T0 = len(req.prompt)
             self.alloc.trim(req.slot, T0)  # release bucket-padding pages
-            self._rng, sub = jax.random.split(self._rng)
-            tok = int(sample_logits(jnp.asarray(logits[req.slot, :V]), sub, req.sampling))
+            s = req.sampling
+            if s.top_k > 0 or s.top_p < 1.0:
+                # Richer sampling than the in-jit temperature path: fetch
+                # the logits block once for the group and resample locally.
+                if logits_np is None:
+                    logits_np = np.asarray(logits)
+                self._rng, sub = jax.random.split(self._rng)
+                tok = int(sample_logits(
+                    jnp.asarray(logits_np[req.slot, :V]), sub, s))
+            else:
+                tok = int(toks[req.slot])
             self._emit(req, tok)
             req.first_token_at = time.monotonic()
             self._positions[req.slot] = T0
@@ -649,6 +687,7 @@ class InferenceEngine:
                 s = self._slots[i].sampling
                 greedy_mask[i] = s.greedy or s.temperature == 0.0
                 temps[i] = max(s.temperature, 1e-6)
+            t0 = time.monotonic()
             if self.kv_layout == "paged":
                 for i in active:
                     self.alloc.ensure(i, int(self._positions[i]) + chunk)
@@ -663,6 +702,8 @@ class InferenceEngine:
                     keys, jnp.asarray(greedy_mask), jnp.asarray(temps),
                 )
             toks = np.asarray(toks_dev)  # [B, chunk] — the single fetch
+            self.stats["t_decode_s"] = (self.stats.get("t_decode_s", 0.0)
+                                        + time.monotonic() - t0)
             for i in active:
                 req = self._slots[i]
                 for j in range(chunk):

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -158,6 +159,17 @@ def pack_giga(
     qkv0_tiles, qkv0_scales = _tile_qt(perm[0][3], bn, fix)
     hfix = _w_scale_fixup(head.q.dtype)
     head_tiles, head_scales = _tile_qt(head, bn, hfix)
+    # Pad the head with zero tiles until the TOTAL stream length divides by
+    # 8: lets giga_decode_step group up to 8 tiles per grid step (tps),
+    # amortizing the ~1 us per-grid-step overhead (benchmarks/
+    # r5_stream_probe.py). Zero tiles emit logits for columns >= vocab,
+    # which the in-kernel argmax masks to -inf anyway; the waste is
+    # <= 7 tiles (~0.6% of the stream).
+    tpl = first.n_wo + first.n_gu + first.n_down + first.n_qkv
+    ntot = L * tpl + len(head_tiles)
+    for _ in range((-ntot) % 8):
+        head_tiles.append(jnp.zeros_like(head_tiles[0]))
+        head_scales.append(jnp.zeros_like(head_scales[0]))
 
     w = jnp.concatenate(
         [jnp.stack(qkv0_tiles)] + [p.w for p in packs]
@@ -187,7 +199,7 @@ def pack_giga(
         h_dim=H, i_dim=first.i_dim, bn=bn,
         n_wo=first.n_wo, n_gu=first.n_gu, n_down=first.n_down,
         n_qkv=first.n_qkv, n_layers=L,
-        n_head=head.q.shape[1] // bn, vocab=vocab,
+        n_head=len(head_tiles), vocab=vocab,
         nh=nh, nkv=nkv, hd=hd, eps=eps,
     )
 
@@ -693,9 +705,22 @@ def giga_decode_step(
     assert pack.w.shape[0] == ntot, (pack.w.shape, ntot)
     k2, v2 = k_pool, v_pool
 
-    # Tiles per grid step (kernel doc): 2 for 1-byte tiles; bf16 tiles are
-    # 2MB each, so tps=1 keeps the double-buffered stream inside VMEM.
-    tps = 2 if (ntot % 2 == 0 and pack.w.dtype.itemsize == 1) else 1
+    # Tiles per grid step (kernel doc): the deepest group that divides the
+    # stream AND keeps the double-buffered weight blocks inside a 24MB
+    # budget — 8 for int8/fp8 (1MB tiles), 4 for bf16 (2MB tiles). Deeper
+    # groups amortize the ~1 us per-grid-step overhead measured by
+    # benchmarks/r5_stream_probe.py (pack_giga pads the head so ntot
+    # divides by 8).
+    tile_bytes = H * bn * pack.w.dtype.itemsize
+    tps = 1
+    for cand in (8, 4, 2):
+        if ntot % cand == 0 and 2 * cand * tile_bytes <= 24 * 1024 * 1024:
+            tps = cand
+            break
+    env_tps = os.environ.get("MILA_GIGA_TPS")
+    if env_tps:  # experiment knob (benchmarks/r5_giga.py sweeps)
+        tps = int(env_tps)
+        assert ntot % tps == 0, (ntot, tps)
     grid = (ntot // tps,)
     if not embed_rope:
         tokens = jnp.zeros((B,), jnp.int32)
@@ -783,6 +808,16 @@ def giga_decode_step(
         input_output_aliases={10: 2, 11: 3},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # bf16 streams carry 2MB tiles; the branchy one-kernel body
+            # makes Mosaic's scoped(stack) vmem exceed the 16MB default
+            # (measured 33.7MB at Llama-1B bf16; int8 at tps=4 needs
+            # 17.2MB). v5e has 128MB VMEM — raise the scoped limit just
+            # enough for the configuration. Do NOT raise it blanket to
+            # 100MB: that measured +0.2 ms/step on the int8 tps=2 stream
+            # (Mosaic pipelines less aggressively near a high limit).
+            **({"vmem_limit_bytes": 100 * 1024 * 1024}
+               if pack.w.dtype.itemsize > 1 else
+               {"vmem_limit_bytes": 24 * 1024 * 1024} if tps >= 4 else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (L * (H * H + H * (NH + 2 * NKV) * HD

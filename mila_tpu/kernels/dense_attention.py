@@ -184,8 +184,12 @@ def dense_decode_attention(
     sm_scale = 1.0 / math.sqrt(HD) if scale is None else scale
 
     interp = _interpret_default() if interpret is None else interpret
-    if interp:
-        # DMA/semaphore path needs hardware; oracle on CPU.
+    if interp or (NKV * HD) % 128:
+        # DMA/semaphore path needs hardware; oracle on CPU. Lane-packed
+        # cache rows need NKV*HD to be a multiple of the 128-lane tile
+        # (Mosaic rejects 64-lane memref slices) — small draft models
+        # (e.g. the speculative-decode tiny draft, KD=64) take the XLA
+        # path, which is faster at those sizes anyway.
         from mila_tpu.ops.attention import decode_attention
 
         out = decode_attention(q[:, None], k_cache, v_cache, lens,

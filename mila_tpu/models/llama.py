@@ -412,7 +412,8 @@ def pack_decode_megalayers(params: dict, cfg, *, bn: int = 512) -> dict:
     return out
 
 
-def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
+def pack_decode_giga(params: dict, cfg, *, bn: int = 512,
+                     bf16_stream: bool = False) -> dict:
     """Add the WHOLE-MODEL decode weight stream (``giga_pack``): every
     layer's slot-permuted wo + wgu + down + next-layer wqkv plus the padded
     quantized lm_head, stacked into one [NTOT, H, bn] tile array driven by
@@ -451,8 +452,13 @@ def pack_decode_giga(params: dict, cfg, *, bn: int = 512) -> dict:
     if isinstance(head, QTensor):
         head = requantize_int8(unpack_int4(head))
     else:
-        # Unquantized (bf16) model: the giga stream carries plain bf16
-        # tiles with unit scales; the head is the padded tied wte^T.
+        # Unquantized (bf16) model: the giga stream CAN carry plain bf16
+        # tiles with unit scales (head = padded tied wte^T), but measured
+        # 10.1 ms/step at Llama-1B (Mosaic won't pipeline 2MB-tile groups;
+        # benchmarks/r5_giga.py --dtype bf16) vs 4.1 ms on the per-layer
+        # path — so bf16 only packs when explicitly requested (tests).
+        if not bf16_stream:
+            return params
         bf16_mode = True
         wt = jnp.asarray(params["embed"]["wte"]).T
         V = wt.shape[1]

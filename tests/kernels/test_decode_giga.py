@@ -58,7 +58,10 @@ def test_pack_giga_shapes():
     ntot = pack.n_qkv + L * tpl - pack.n_qkv + pack.n_head
     assert pack.w.shape == (ntot, H, pack.bn)
     assert pack.s.shape == (ntot, 1, pack.bn)
-    assert pack.n_head == 2
+    # 2 real head tiles + zero pad so the total stream divides by 8
+    assert pack.n_head == 4
+    assert ntot % 8 == 0
+    assert float(jnp.abs(pack.w[-2:]).max()) == 0.0
 
 
 def test_pack_giga_rejects_bad_shapes():
@@ -86,7 +89,7 @@ def test_giga_ref_runs_and_updates_cache():
                                              kp, vp, interpret=True)
     assert tok.shape == (B, 1) and tok.dtype == jnp.int32
     assert int(tok.max()) < 1000  # vocab mask respected (VPAD = 1024)
-    assert logits.shape == (B, 1024)
+    assert logits.shape == (B, pack.n_head * pack.bn)
     # new rows landed at lens[b]
     for b, ln in enumerate([5, 17]):
         assert float(jnp.abs(kp2[0, b, ln]).sum()) > 0
