@@ -63,6 +63,12 @@ def make_kernel(mode):
             p = jax.lax.dot(x_ref[...], w,
                             preferred_element_type=jnp.float32)
             acc_ref[...] += p[:1, :]
+        elif mode == "mixed":
+            # bf16 x s8 directly: does Mosaic feed s8 into the MXU data
+            # path without a separate VPU convert pass?
+            p = jax.lax.dot(x_ref[...], w_ref[0],
+                            preferred_element_type=jnp.float32)
+            acc_ref[...] += p[:1, :]
 
         @pl.when(t == NT - 1)
         def _():

@@ -755,7 +755,14 @@ class Llama(CompositeModule):
         s2 = sin.reshape(B, d2)
         cos_t = jnp.tile(jnp.concatenate([c2, c2], -1), (1, NKV))
         sin_t = jnp.tile(jnp.concatenate([-s2, s2], -1), (1, NKV))
-        if "mega_pack" in params["h0"]:
+        # Mega kernel holds the layer's whole [B, T, KD] KV cache in VMEM:
+        # gate on a VMEM budget (r4 advisor) — ~2 x 16MB KV + ~6MB weight
+        # ring must fit in the v5e's 128MB; fall back to the two-kernel
+        # layer_stream path for bigger caches.
+        kc0 = cache["h0"]["k"]
+        kv_vmem = 2 * 2 * kc0.size * kc0.dtype.itemsize  # double-buffered
+        fits = kv_vmem <= 72 * 1024 * 1024 or "layer_stream" not in params
+        if "mega_pack" in params["h0"] and fits:
             return self._backbone_mega_decode(
                 params, x, cache, old_lens, cos_t, sin_t)
         qkv = rms_quant_linear(
