@@ -104,7 +104,7 @@ def _run(args):
             max_new_tokens=engine.config.decode_chunk,
         )
     engine.run()
-    engine.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0}
+    engine.stats = {k: 0 for k in engine.stats}
 
     reqs = []
     for i in range(args.requests):

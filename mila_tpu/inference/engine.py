@@ -137,7 +137,9 @@ class InferenceEngine:
         self._positions = np.zeros((c.max_batch,), np.int32)
         self._last_token = np.zeros((c.max_batch,), np.int32)
         self._rng = jax.random.key(0)
-        self._decode_fn = None
+        self._decode_fns: dict[int, Callable] = {}
+        self._dev = None  # device-resident decode operands (_device_operands)
+        self._dev_dirty = True
         self._prefill_fns: dict[int, Callable] = {}
         self.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0,
                       "spec_rounds": 0, "spec_accepted": 0, "spec_proposed": 0}
@@ -268,13 +270,19 @@ class InferenceEngine:
             self._prefill_fns[key] = prefill
         return self._prefill_fns[key]
 
-    def _get_decode_fn(self):
-        """Chunked greedy-capable decode: runs ``decode_chunk`` ragged steps
-        in one jitted lax.scan, sampling on device each step."""
-        if self._decode_fn is None:
+    def _get_decode_fn(self, chunk: int):
+        """Chunked greedy-capable decode: ``chunk`` ragged steps in one
+        jitted lax.scan, sampling on device each step.
+
+        EVERY per-step operand (token row, positions, PRNG key) is device-
+        resident and threaded THROUGH the call: the host neither uploads
+        per-chunk inputs nor splits keys outside jit. On remote TPUs each
+        host-side device op is a tunnel round-trip (~30-90ms) — the r5
+        engine bench measured 6s of a 7.8s serving run in exactly these
+        (t_prefill 0.42s + t_decode 1.37s, wall 7.79s)."""
+        if chunk not in self._decode_fns:
             model = self.model
             V = model.config.vocab_size
-            chunk = max(self.config.decode_chunk, 1)
             paged = self.kv_layout == "paged"
 
             def sample_step(logits, key, greedy_mask, temps):
@@ -287,20 +295,23 @@ class InferenceEngine:
             if paged:
 
                 @functools.partial(jax.jit, donate_argnums=(1,))
-                def decode(params, pools, table, tokens, positions, keys,
+                def decode(params, pools, table, tokens, positions, key,
                            greedy_mask, temps):
-                    def body(carry, key):
+                    key, sub = jax.random.split(key)
+                    keys = jax.random.split(sub, chunk)
+
+                    def body(carry, k):
                         toks, pools, pos = carry
                         logits, pools = model.forward_paged_ragged(
                             params, toks, pools, table, pos
                         )
-                        nxt = sample_step(logits[:, -1, :V], key, greedy_mask, temps)
+                        nxt = sample_step(logits[:, -1, :V], k, greedy_mask, temps)
                         return (nxt[:, None], pools, pos + 1), nxt
 
-                    (_, pools, _), toks = jax.lax.scan(
+                    (tok_next, pools, pos_next), toks = jax.lax.scan(
                         body, (tokens, pools, positions), keys
                     )
-                    return toks.T, pools  # [B, chunk]
+                    return toks.T, tok_next, pos_next, key, pools
 
             else:
 
@@ -310,23 +321,57 @@ class InferenceEngine:
                 # (benchmarks/r4_dus.py). The caller reassigns self.cache
                 # from the return value.
                 @functools.partial(jax.jit, donate_argnums=(1,))
-                def decode(params, cache, tokens, positions, keys, greedy_mask, temps):
-                    def body(carry, key):
+                def decode(params, cache, tokens, positions, key,
+                           greedy_mask, temps):
+                    key, sub = jax.random.split(key)
+                    keys = jax.random.split(sub, chunk)
+
+                    def body(carry, k):
                         toks, cache, pos = carry
                         logits, cache = model.forward_with_cache_ragged(
                             params, toks, cache, pos
                         )
-                        nxt = sample_step(logits[:, -1, :V], key, greedy_mask, temps)
+                        nxt = sample_step(logits[:, -1, :V], k, greedy_mask, temps)
                         return (nxt[:, None], cache, pos + 1), nxt
 
-                    (_, cache, _), toks = jax.lax.scan(
+                    (tok_next, cache, pos_next), toks = jax.lax.scan(
                         body, (tokens, cache, positions), keys
                     )
-                    return toks.T, cache  # [B, chunk]
+                    return toks.T, tok_next, pos_next, key, cache
 
-            self._decode_fn = decode
-            self._decode_chunk = chunk
-        return self._decode_fn
+            self._decode_fns[chunk] = decode
+        return self._decode_fns[chunk]
+
+    def _device_operands(self):
+        """Device-resident decode operands, rebuilt only when slot state
+        changed (admission/retirement) — not per chunk."""
+        if self._dev_dirty or self._dev is None:
+            c = self.config
+            greedy_mask = np.zeros((c.max_batch,), bool)
+            temps = np.ones((c.max_batch,), np.float32)
+            for i, s in enumerate(self._slots):
+                if s is not None:
+                    sc = s.sampling
+                    greedy_mask[i] = sc.greedy or sc.temperature == 0.0
+                    temps[i] = max(sc.temperature, 1e-6)
+            key = self._dev["key"] if self._dev else self._rng
+            self._dev = {
+                "tok": jnp.asarray(self._last_token[:, None]),
+                "pos": jnp.asarray(self._positions),
+                "greedy": jnp.asarray(greedy_mask),
+                "temps": jnp.asarray(temps),
+                "key": key,
+                "table_np": None,
+                "table": None,
+            }
+            self._dev_dirty = False
+        if self.kv_layout == "paged":
+            tbl = self.alloc.table
+            if (self._dev["table_np"] is None
+                    or not np.array_equal(self._dev["table_np"], tbl)):
+                self._dev["table_np"] = tbl.copy()
+                self._dev["table"] = jnp.asarray(tbl)
+        return self._dev
 
     # ---- speculative decoding (paged target + contiguous draft) ----
 
@@ -470,8 +515,8 @@ class InferenceEngine:
             req = self._slots[i]
             a = int(n_np[i])
             emit = [int(x) for x in drafts_np[i, :a]] + [int(t_new_np[i])]
-            self.stats["spec_proposed"] += k
-            self.stats["spec_accepted"] += a
+            self.stats["spec_proposed"] = self.stats.get("spec_proposed", 0) + k
+            self.stats["spec_accepted"] = self.stats.get("spec_accepted", 0) + a
             for t in emit:
                 if req.done:
                     break
@@ -480,7 +525,7 @@ class InferenceEngine:
             if self._slots[i] is not None:
                 self._positions[i] = int(self._positions[i]) + a + 1
                 self._last_token[i] = emit[-1]
-        self.stats["spec_rounds"] += 1
+        self.stats["spec_rounds"] = self.stats.get("spec_rounds", 0) + 1
         self.stats["steps"] += 1
 
     def _drop_cancelled(self, finished: list[Request]) -> None:
@@ -615,6 +660,7 @@ class InferenceEngine:
             req.first_token_at = time.monotonic()
             self._positions[req.slot] = T0
             self._last_token[req.slot] = tok
+            self._dev_dirty = True
             self.stats["prefills"] += 1
             self._maybe_finish(req, finished)
 
@@ -640,6 +686,7 @@ class InferenceEngine:
         req.first_token_at = time.monotonic()
         self._positions[req.slot] = T0
         self._last_token[req.slot] = tok
+        self._dev_dirty = True
         self.stats["prefills"] += 1
         self._maybe_finish(req, finished)
 
@@ -662,45 +709,39 @@ class InferenceEngine:
             self._spec_round(active, finished)
             return finished
         if active:
-            decode = self._get_decode_fn()
             # Variable chunk: when every active slot is within `bound` tokens
             # of its max_new_tokens cap, shrink the scan to the next power of
-            # two >= bound (the jitted decode specializes per keys-length, so
-            # this costs at most log2(decode_chunk) extra compiles and stops
+            # two >= bound (the jitted decode specializes per chunk, so this
+            # costs at most log2(decode_chunk) extra compiles and stops
             # retiring requests from burning up to chunk-1 wasted ~ms-scale
             # decode steps each). EOS-finishes stay unpredictable; the cap
             # bound is the guaranteed part.
-            chunk = self._decode_chunk
+            chunk = max(self.config.decode_chunk, 1)
             bound = max(
                 self._slots[i].max_new_tokens - len(self._slots[i].output)
                 for i in active
             )
             if 0 < bound < chunk:
                 chunk = 1 << (bound - 1).bit_length()
-            tokens = jnp.asarray(self._last_token[:, None])
-            positions = jnp.asarray(self._positions)
-            self._rng, sub = jax.random.split(self._rng)
-            keys = jax.random.split(sub, chunk)
-            greedy_mask = np.zeros((c.max_batch,), bool)
-            temps = np.ones((c.max_batch,), np.float32)
-            for i in active:
-                s = self._slots[i].sampling
-                greedy_mask[i] = s.greedy or s.temperature == 0.0
-                temps[i] = max(s.temperature, 1e-6)
+            decode = self._get_decode_fn(chunk)
             t0 = time.monotonic()
             if self.kv_layout == "paged":
                 for i in active:
                     self.alloc.ensure(i, int(self._positions[i]) + chunk)
-                toks_dev, self.pools = decode(
-                    self.params, self.pools, jnp.asarray(self.alloc.table),
-                    tokens, positions, keys,
-                    jnp.asarray(greedy_mask), jnp.asarray(temps),
+            dev = self._device_operands()
+            start_pos = self._positions.copy()
+            if self.kv_layout == "paged":
+                toks_dev, tok_next, pos_next, key_next, self.pools = decode(
+                    self.params, self.pools, dev["table"],
+                    dev["tok"], dev["pos"], dev["key"],
+                    dev["greedy"], dev["temps"],
                 )
             else:
-                toks_dev, self.cache = decode(
-                    self.params, self.cache, tokens, positions,
-                    keys, jnp.asarray(greedy_mask), jnp.asarray(temps),
+                toks_dev, tok_next, pos_next, key_next, self.cache = decode(
+                    self.params, self.cache, dev["tok"], dev["pos"],
+                    dev["key"], dev["greedy"], dev["temps"],
                 )
+            dev["tok"], dev["pos"], dev["key"] = tok_next, pos_next, key_next
             toks = np.asarray(toks_dev)  # [B, chunk] — the single fetch
             self.stats["t_decode_s"] = (self.stats.get("t_decode_s", 0.0)
                                         + time.monotonic() - t0)
@@ -713,7 +754,7 @@ class InferenceEngine:
                     self._maybe_finish(req, finished)
                 # The cache advanced by the full chunk for every live row.
                 if self._slots[i] is not None:
-                    self._positions[i] = int(positions[i]) + chunk
+                    self._positions[i] = int(start_pos[i]) + chunk
                     self._last_token[i] = int(toks[i, chunk - 1])
             self.stats["steps"] += 1
         return finished
@@ -732,6 +773,7 @@ class InferenceEngine:
     def _retire(self, req: Request, finished: list) -> None:
         req.done = True
         req.finished_at = time.monotonic()
+        self._dev_dirty = True  # slot state changed: rebuild decode operands
         if req.cancelled:
             self.stats["cancelled"] += 1
         finished.append(req)
