@@ -640,6 +640,12 @@ def _giga_kernel(
     # scalar coordinate math, pipeline handshakes) measured ~1 us/step at
     # tps=1 — 2.44 us/tile against the 1.49 us/tile branch-free probe
     # (benchmarks/r5_stream_probe.py). Amortize it across the group.
+    #
+    # NOTE: feeding the s8 tile directly to the dots (mixed bf16 x s8)
+    # measures FASTER in a single-dot probe (1.42 vs 1.51 us/tile,
+    # r5_stream_probe ``mixed``) but 3x SLOWER here (6.3 vs 2.2 ms/step):
+    # the tile feeds several predicated dots and Mosaic re-lowers the
+    # operand per branch. One up-front VPU convert wins in this kernel.
     for i in range(tps):
         process_tile(t * tps + i, _load_w(w_ref[i]), s_ref[i, 0])
 
@@ -711,9 +717,11 @@ def giga_decode_step(
     # groups amortize the ~1 us per-grid-step overhead measured by
     # benchmarks/r5_stream_probe.py (pack_giga pads the head so ntot
     # divides by 8).
+    # tps=8 measured 7.06 ms/step (Mosaic stops double-buffering the 8MB
+    # blocks); 4 is the measured optimum for int8 (2.214 vs 2.314 at 2).
     tile_bytes = H * bn * pack.w.dtype.itemsize
     tps = 1
-    for cand in (8, 4, 2):
+    for cand in (4, 2):
         if ntot % cand == 0 and 2 * cand * tile_bytes <= 24 * 1024 * 1024:
             tps = cand
             break
