@@ -764,6 +764,20 @@ def bench_engine_serving() -> dict:
     base = engine_run(scale="llama-1b", quantize="int8", requests=24,
                       max_batch=8, new_tokens=64, max_len=512)
     try:
+        # Contiguous layout + the whole-model giga decode kernel: the
+        # flagship decode path serving end-to-end.
+        giga = engine_run(scale="llama-1b", quantize="int8", requests=24,
+                          max_batch=8, new_tokens=64, max_len=512,
+                          layout="contiguous")
+        base["detail"]["giga_contiguous"] = giga["detail"] | {
+            "tok_s": giga["value"]}
+        if giga["value"] > base["value"]:
+            base["value"] = giga["value"]
+    except Exception as e:  # noqa: BLE001
+        traceback.print_exc()
+        base["detail"]["giga_contiguous"] = {
+            "error": f"{type(e).__name__}: {e}"[:200]}
+    try:
         spec = engine_run(scale="llama-1b", quantize="int8", requests=12,
                           max_batch=8, new_tokens=64, max_len=512,
                           speculative_k=4)

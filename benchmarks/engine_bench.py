@@ -77,9 +77,14 @@ def _run(args):
         model = Llama(cfg)
         params = model.init(jax.random.key(0), (1, 32))
         if args.quantize:
+            from mila_tpu.models.llama import pack_decode_giga
+
             params = add_quantized_lm_head(
                 quantize_model_params(fuse_llama_projections(params),
                                       args.quantize), args.quantize)
+            # Whole-model decode stream: the contiguous-layout engine runs
+            # it as the decode kernel (paged ignores the extra entry).
+            params = pack_decode_giga(params, cfg)
         if args.speculative_k:
             dcfg = LlamaConfig.tiny(vocab_size=cfg.vocab_size).replace(
                 max_seq_len=args.max_len, param_dtype="bfloat16")

@@ -140,6 +140,7 @@ class InferenceEngine:
         self._decode_fns: dict[int, Callable] = {}
         self._dev = None  # device-resident decode operands (_device_operands)
         self._dev_dirty = True
+        self._giga_pools = None  # stacked [L,B,T,KD] pools (giga decode)
         self._prefill_fns: dict[int, Callable] = {}
         self.stats = {"steps": 0, "prefills": 0, "tokens_out": 0, "cancelled": 0,
                       "spec_rounds": 0, "spec_accepted": 0, "spec_proposed": 0}
@@ -285,12 +286,24 @@ class InferenceEngine:
             V = model.config.vocab_size
             paged = self.kv_layout == "paged"
 
-            def sample_step(logits, key, greedy_mask, temps):
+            def sample_step(logits, key, greedy_mask, temps,
+                            greedy_tok=None):
+                """Greedy/temperature sampling; the categorical (gumbel
+                noise + log over [B, V] — ~2 ms/step of pure VPU
+                transcendentals at Llama vocab) only runs when some active
+                slot actually samples (lax.cond, runtime-skipped)."""
                 logits = logits.astype(jnp.float32)
-                greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                scaled = logits / jnp.maximum(temps[:, None], 1e-6)
-                sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
-                return jnp.where(greedy_mask, greedy_tok, sampled)
+                if greedy_tok is None:
+                    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                def do_sample(_):
+                    scaled = logits / jnp.maximum(temps[:, None], 1e-6)
+                    sampled = jax.random.categorical(
+                        key, scaled, axis=-1).astype(jnp.int32)
+                    return jnp.where(greedy_mask, greedy_tok, sampled)
+
+                return jax.lax.cond(jnp.all(greedy_mask),
+                                    lambda _: greedy_tok, do_sample, None)
 
             if paged:
 
@@ -312,6 +325,39 @@ class InferenceEngine:
                         body, (tokens, pools, positions), keys
                     )
                     return toks.T, tok_next, pos_next, key, pools
+
+            elif self._use_giga_decode():
+
+                # Whole-model single-kernel decode (kernels/decode_giga.py):
+                # the cache lives as PRE-STACKED [L, B, T, KD] pools across
+                # chunks (self._giga_pools, converted back to the dict only
+                # around admissions) — stacking inside the decode jit gives
+                # the scan-carried pools a stack-derived layout and XLA
+                # inserts ~134MB layout-conversion copies per STEP
+                # (benchmarks/r5_branch_probe.py; measured 5.5 vs 2.2
+                # ms/step). giga_step is ragged-native (per-row positions)
+                # and returns full logits, so sampled slots work too.
+                @functools.partial(jax.jit, donate_argnums=(1,))
+                def decode(params, pools, tokens, positions, key,
+                           greedy_mask, temps):
+                    kp, vp = pools
+                    key, sub = jax.random.split(key)
+                    keys = jax.random.split(sub, chunk)
+
+                    def body(carry, k):
+                        toks, kp, vp, pos = carry
+                        tok_g, logits, kp, vp = model.giga_step(
+                            params, toks, kp, vp, pos)
+                        # The kernel's fused argmax IS the greedy answer —
+                        # all-greedy steps never touch the [B, V] logits.
+                        nxt = sample_step(logits[:, :V], k, greedy_mask,
+                                          temps, greedy_tok=tok_g[:, 0])
+                        return (nxt[:, None], kp, vp, pos + 1), nxt
+
+                    (tok_next, kp, vp, pos_next), toks = jax.lax.scan(
+                        body, (tokens, kp, vp, positions), keys
+                    )
+                    return toks.T, tok_next, pos_next, key, (kp, vp)
 
             else:
 
@@ -341,6 +387,26 @@ class InferenceEngine:
 
             self._decode_fns[chunk] = decode
         return self._decode_fns[chunk]
+
+    def _use_giga_decode(self) -> bool:
+        """Contiguous-layout decode can run the whole-model giga kernel:
+        params carry a giga_pack, the model implements the stacked-pool
+        protocol, and the cache is bf16 with a %8 row count (kernel
+        alignment rules)."""
+        try:
+            import jax.numpy as _jnp
+
+            return (
+                self.kv_layout == "contiguous"
+                and isinstance(self.params, dict)
+                and "giga_pack" in self.params
+                and hasattr(self.model, "giga_step")
+                and hasattr(self.model, "stack_kv_cache")
+                and self.config.max_len % 8 == 0
+                and jnp.dtype(self.config.cache_dtype) == _jnp.bfloat16
+            )
+        except Exception:  # noqa: BLE001 - conservative fallback
+            return False
 
     def _device_operands(self):
         """Device-resident decode operands, rebuilt only when slot state
@@ -666,6 +732,12 @@ class InferenceEngine:
 
     def _contiguous_prefill(self, req: Request, finished: list[Request]) -> None:
         c = self.config
+        if self._giga_pools is not None:
+            # Admissions write the dict cache; fold the stacked giga pools
+            # back (rare vs decode chunks — once per admission wave).
+            self.cache = jax.jit(self.model.unstack_kv_cache)(
+                *self._giga_pools)
+            self._giga_pools = None
         T0 = len(req.prompt)
         bucket = self._bucket_for(T0)
         tokens = np.zeros((1, bucket), np.int32)
@@ -735,6 +807,19 @@ class InferenceEngine:
                     self.params, self.pools, dev["table"],
                     dev["tok"], dev["pos"], dev["key"],
                     dev["greedy"], dev["temps"],
+                )
+            elif self._use_giga_decode():
+                if self._giga_pools is None:
+                    # One-time stack after the latest admission wave; the
+                    # pools then stay in the pallas-preferred layout for
+                    # every subsequent chunk.
+                    self._giga_pools = jax.jit(self.model.stack_kv_cache)(
+                        self.cache)
+                    self.cache = None
+                (toks_dev, tok_next, pos_next, key_next,
+                 self._giga_pools) = decode(
+                    self.params, self._giga_pools, dev["tok"], dev["pos"],
+                    dev["key"], dev["greedy"], dev["temps"],
                 )
             else:
                 toks_dev, tok_next, pos_next, key_next, self.cache = decode(
